@@ -1,0 +1,129 @@
+"""Condition DSL -> Catalyst Column compiler.
+
+Reimplements the semantics of the reference's condition evaluator
+(/root/reference/lib/lib/condition_evaluator.js:63-133) including its quirks:
+
+  * ``==`` / ``!=`` compare **as strings** (force_string, :66)
+  * ``>ᐸ>=ᐸ=`` coerce both sides JS-``parseInt``-style — leading integer
+    prefix parsed, otherwise NaN -> comparison false (:49-61)
+  * ``=~`` / ``!~`` regex match on the string value
+  * ``in`` / ``not in`` membership with string compare
+  * ``!`` JS truthiness negation; ``and or xor nand`` boolean connectives
+  * ``miss`` true when the field is absent (here: NULL)
+
+AST shape (ours — the reference builds an equivalent tree from its jison
+grammar, /root/reference/lib/logstash_config.jison:89-110):
+
+  leaf       literal str/int/float/bool, or {"field": "name"}
+  unary      {"op": "!", "operand": ast} | {"op": "miss", "operand": ast}
+  binary     {"op": "==", "left": ast, "right": ast}   (right of in/not in
+             is a list of literals)
+
+The whole tree compiles to ONE Column expression, evaluated once per row
+inside codegen — vs. the reference's per-plugin per-event tree walk.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# JS parseInt emulation: grab optional-signed leading digits; '' -> null (NaN).
+_PARSEINT_RE = r"^\s*([+-]?[0-9]+)"
+
+
+def _parseint(c: Column) -> Column:
+    s = F.regexp_extract(c.cast("string"), _PARSEINT_RE, 1)
+    return F.when(s == "", F.lit(None).cast("long")).otherwise(s.cast("long"))
+
+
+def truthy(c: Column, dtype: T.DataType | None = None) -> Column:
+    """JS truthiness: null/''/0/false are falsy; everything else truthy."""
+    if isinstance(dtype, T.BooleanType):
+        return F.coalesce(c, F.lit(False))
+    if isinstance(dtype, T.NumericType):
+        return c.isNotNull() & (c != 0)
+    if isinstance(dtype, T.StringType):
+        return c.isNotNull() & (c != "")
+    # unknown type: string-view semantics (covers the reference's usual
+    # string-typed event fields); numeric 0 in an untyped context is "0"
+    # which JS would call truthy-as-string anyway once serialized
+    return c.isNotNull() & (c.cast("string") != "")
+
+
+def _is_leaf(ast: Any) -> bool:
+    return not (isinstance(ast, Mapping) and "op" in ast)
+
+
+def _leaf_column(ast: Any) -> Column:
+    if isinstance(ast, Mapping) and "field" in ast:
+        return F.col(ast["field"])
+    return F.lit(ast)
+
+
+def _leaf_dtype(ast: Any, schema: T.StructType | None) -> T.DataType | None:
+    if isinstance(ast, Mapping) and "field" in ast:
+        if schema is not None and ast["field"] in schema.fieldNames():
+            return schema[ast["field"]].dataType
+        return None
+    if isinstance(ast, bool):
+        return T.BooleanType()
+    if isinstance(ast, (int, float)):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def compile_condition(ast: Any, schema: T.StructType | None = None) -> Column:
+    """Compile a condition AST to a boolean Column (never NULL: missing
+    operands make the comparison False, as in the reference)."""
+    if _is_leaf(ast):
+        return truthy(_leaf_column(ast), _leaf_dtype(ast, schema))
+
+    op = ast["op"]
+    if op == "!":
+        return ~compile_condition(ast["operand"], schema)
+    if op == "miss":
+        return _leaf_column(ast["operand"]).isNull()
+
+    if op in ("and", "or", "xor", "nand"):
+        l = compile_condition(ast["left"], schema)
+        r = compile_condition(ast["right"], schema)
+        if op == "and":
+            return l & r
+        if op == "or":
+            return l | r
+        if op == "xor":
+            return l != r
+        return ~(l & r)
+
+    l_col, r_col = _leaf_or_sub(ast["left"], schema), _leaf_or_sub(ast["right"], schema)
+
+    if op in ("==", "!="):
+        # force_string compare (condition_evaluator.js:66)
+        eq = l_col.cast("string").eqNullSafe(r_col.cast("string"))
+        return eq if op == "==" else ~eq
+    if op in (">", ">=", "<", "<="):
+        li, ri = _parseint(l_col), _parseint(r_col)
+        cmp = {">": li > ri, ">=": li >= ri, "<": li < ri, "<=": li <= ri}[op]
+        return F.coalesce(cmp, F.lit(False))  # NaN comparisons -> false
+    if op in ("=~", "!~"):
+        pat = ast["right"]
+        if not isinstance(pat, str):
+            raise ValueError("regex condition needs a literal pattern")
+        m = F.coalesce(l_col.cast("string").rlike(pat), F.lit(False))
+        return m if op == "=~" else ~m
+    if op in ("in", "not in"):
+        vals = [str(v) for v in ast["right"]]
+        m = F.coalesce(l_col.cast("string").isin(vals), F.lit(False))
+        return m if op == "in" else ~m
+    raise ValueError(f"unknown condition op: {op!r}")
+
+
+def _leaf_or_sub(ast: Any, schema: T.StructType | None) -> Column:
+    if _is_leaf(ast):
+        return _leaf_column(ast)
+    # nested expression used as a value -> its boolean result
+    return compile_condition(ast, schema)

@@ -1,0 +1,162 @@
+"""Correlation / sessionization / aggregation operators (SURVEY.md §2.3).
+
+The reference keeps per-key mutable state in LRU / dirty-db stores and flushes
+on timers (filter_esl.js:137-251, base_filter_buffer.js:11-57,
+plugins/filters/cacheloop/filter_cacheloop.js:42-114).  Batch-Spark re-derives
+the same outputs from ordered windows and groupBys — one shuffle on the
+correlation key, partial aggregation map-side, no driver state.  Streaming
+variants live in streaming/.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def multiline(df: DataFrame, *, key: Sequence[str], order: str,
+              start_line_regex: str, field: str = "message",
+              joiner: str = "\n") -> DataFrame:
+    """Stateful line reassembly (filter_multiline.js:27-33,
+    base_filter_buffer.js:11-57): lines buffer per key until the next line
+    matching ``start_line_regex`` begins a new logical message.
+
+    Batch shape: running count of start-line matches over the ordered window
+    is the message group id; concat_ws over collect_list rebuilds the message.
+    Two shuffles max (window + groupBy share the key partitioning, so AQE
+    reuses the exchange).  Time-based flush (max_delay) is arrival-time-only
+    in the reference and has no batch meaning — the streaming variant uses a
+    session window instead (SURVEY §7 hard-part b).
+    """
+    keys = list(key)
+    w = (Window.partitionBy(*keys).orderBy(F.col(order))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.col(field).rlike(start_line_regex).cast("int")
+    grouped = df.withColumn("_msg_grp", F.sum(start).over(w))
+    return (grouped
+            .groupBy(*keys, "_msg_grp")
+            .agg(F.concat_ws(joiner, F.array_sort(
+                     F.collect_list(F.struct(F.col(order).alias("o"),
+                                             F.col(field).alias("m")))).getField("m"))
+                 .alias(field),
+                 F.min(order).alias(order),
+                 F.count("*").alias("n_lines"))
+            .drop("_msg_grp"))
+
+
+def sessionize(df: DataFrame, *, key: str | Sequence[str], ts: str = "ts",
+               gap_seconds: float = 1800.0,
+               target: str = "session_id") -> DataFrame:
+    """Gap-based session assignment: a new session starts when the time since
+    the previous event on the same key exceeds ``gap_seconds``.
+
+    This is the batch analogue of the reference's idle-eviction state
+    (cacheloop maxAge, filter_cacheloop.js:94-97): running sum of
+    new-session flags = session ordinal per key.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts))
+    prev = F.lag(F.col(ts)).over(w)
+    new_sess = (prev.isNull() |
+                (F.col(ts).cast("double") - prev.cast("double") > gap_seconds)
+                ).cast("int")
+    run = (Window.partitionBy(*keys).orderBy(F.col(ts))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(target, F.sum(new_sess).over(run))
+
+
+def forward_fill_correlation(df: DataFrame, *, key: str | Sequence[str],
+                             order: str, value: str,
+                             target: str = "correlation_id") -> DataFrame:
+    """esl-style correlation-id propagation (filter_esl.js:144-204): the id
+    captured at CHANNEL_CREATE is carried to every later event of the call —
+    ``last(value) ignorenulls`` over the ordered key window."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (Window.partitionBy(*keys).orderBy(F.col(order))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(target, F.last(F.col(value), ignorenulls=True).over(w))
+
+
+def bleg_correlation(df: DataFrame, *, key: str = "unique_id",
+                     other_key: str = "other_leg_unique_id",
+                     corr: str = "correlation_id") -> DataFrame:
+    """B-leg resolution (filter_esl.js:144-154): an event without its own
+    correlation id borrows the one stored under its other-leg key — a self
+    equi-join on the leg key, last-value-wins."""
+    legs = (df.filter(F.col(corr).isNotNull())
+            .groupBy(key).agg(F.max(corr).alias("_bleg_corr")))
+    joined = df.join(legs.withColumnRenamed(key, other_key),
+                     on=other_key, how="left")
+    return (joined
+            .withColumn(corr, F.coalesce(F.col(corr), F.col("_bleg_corr")))
+            .drop("_bleg_corr"))
+
+
+def cacheloop_aggregate(df: DataFrame, *, extract: str,
+                        avg_fields: Sequence[str] = (),
+                        collect: bool = True,
+                        member_fields: Sequence[str] | None = None,
+                        order: str | None = None,
+                        custom_type: str | None = None,
+                        rename_group: str = "group") -> DataFrame:
+    """The cacheloop aggregation (plugins/filters/cacheloop/
+    filter_cacheloop.js:42-97): one output row per ``extract`` key with
+    ``count``, ``avg_<field>`` means, and the ordered member array
+    (whitelist-projected via ``member_fields``).
+
+    groupBy + partial aggregation — Catalyst plans map-side combine so the
+    shuffle carries partial states, not rows; at 100 TB this is the only
+    viable shape for a hot-key aggregate (plus AQE skew splitting for the
+    collect_list, which cannot combine partially).
+    """
+    aggs: list[Column] = [F.count("*").alias("count")]
+    for f in avg_fields:
+        aggs.append(F.avg(F.col(f).cast("double")).alias(f"avg_{f}"))
+    if collect:
+        members = member_fields or [c for c in df.columns if c != extract]
+        struct_cols = [F.col(c) for c in members]
+        if order is not None:
+            ordered = F.array_sort(F.collect_list(
+                F.struct(F.col(order).alias("_o"), *struct_cols)))
+            aggs.append(F.transform(
+                ordered, lambda s: s.dropFields("_o")).alias(rename_group))
+        else:
+            aggs.append(F.collect_list(F.struct(*struct_cols)).alias(rename_group))
+    out = df.groupBy(F.col(extract).alias("extract")).agg(*aggs)
+    if custom_type:
+        out = out.withColumn("type", F.lit(custom_type))
+    return out
+
+
+def salted_aggregate(df: DataFrame, *, key: str, aggs: dict[str, Column],
+                     salt_buckets: int = 32) -> DataFrame:
+    """Two-phase skew-safe aggregation for algebraic aggregates: partial
+    aggregate on (key, salt) then final on key.  The north rule's explicit
+    skew policy for the hot `source` value — a 40%-frequency key would
+    otherwise pin one reducer.
+
+    ``aggs`` maps output name -> (partial_expr, final stage is derived):
+    supported values are F.count/F.sum/F.avg expressions declared by name:
+      {"cnt": F.count("*"), "total": F.sum("x"), "mean": F.avg("x")}
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    partial_aggs, final_aggs = [], []
+    for name, col in aggs.items():
+        fn = col._jc.toString() if hasattr(col, "_jc") else str(col)
+        if fn.startswith("count("):
+            partial_aggs.append(col.alias(f"_p_{name}"))
+            final_aggs.append(F.sum(f"_p_{name}").alias(name))
+        elif fn.startswith("sum("):
+            partial_aggs.append(col.alias(f"_p_{name}"))
+            final_aggs.append(F.sum(f"_p_{name}").alias(name))
+        elif fn.startswith("avg("):
+            inner = fn[4:-1]
+            partial_aggs.append(F.sum(inner).alias(f"_ps_{name}"))
+            partial_aggs.append(F.count(inner).alias(f"_pc_{name}"))
+            final_aggs.append((F.sum(f"_ps_{name}") / F.sum(f"_pc_{name}")).alias(name))
+        else:
+            raise ValueError(f"salted_aggregate supports count/sum/avg, got {fn}")
+    partial = salted.groupBy(key, "_salt").agg(*partial_aggs)
+    return partial.groupBy(key).agg(*final_aggs)

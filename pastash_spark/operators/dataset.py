@@ -1,0 +1,252 @@
+"""Training-data pipeline operators: dedup, text analysis, fingerprinting.
+
+Beyond the reference's own inventory (its dedup story is limited to keyed
+LRU caches), these are the operations a 100 TB token-pipeline actually needs.
+All are expressed shuffle-consciously:
+
+  * exact dedup        one hash-groupBy (partial agg map-side)
+  * minhash LSH        signature via native xxhash64 expressions (no Python),
+                       band -> bucket -> within-bucket pair join; candidate
+                       pairs only, never the full O(n^2) cross join
+  * simhash            weighted bit-vote over token hashes, pure columnar
+  * n-gram jaccard     shingle explode + equi-join on shingle (the exact
+                       small-scale oracle for the LSH path)
+  * quality/lang/count pure column arithmetic
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tokenize / fingerprint --------------------------------------------------
+
+def words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def portable_tokenize(col: str = "text") -> Column:
+    """Deterministic word -> token-id derivation used to manufacture the
+    input_hint token table from a text corpus: id = (ascii(first)*100 +
+    length) % 50257.  Chosen to be expressible identically in Spark SQL and
+    DuckDB SQL so oracle queries can reproduce it bit-for-bit."""
+    return F.transform(words(col),
+                       lambda w: (F.ascii(w) * 100 + F.length(w)) % 50257)
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Normalized-document fingerprint: md5 over whitespace-collapsed,
+    lowercased text (the `mutate_hash` dedup key pattern,
+    /root/reference/lib/filters/filter_mutate_hash.js:24-29)."""
+    return F.md5(F.lower(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, *, col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact near-free dedup: group on content hash, keep min-id survivor.
+    One shuffle on a high-cardinality uniform key — no skew possible."""
+    return (df.withColumn("_fp", fingerprint(col))
+            .groupBy(F.col("_fp").alias("fp"))
+            .agg(F.min(id_col).alias("survivor_id"),
+                 F.count("*").alias("dup_count")))
+
+
+def dedup_exact_keep(df: DataFrame, *, col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Return the surviving rows themselves (min id per content hash)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(fingerprint(col)).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# --- shingles + jaccard ------------------------------------------------------
+
+def shingles(col: str = "text", k: int = 3) -> Column:
+    """k-word shingle array: concat_ws of each sliding window."""
+    ws = words(col)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k))))
+
+
+def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                        col: str = "text", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard similarity over k-shingles for all pairs sharing >=1
+    shingle: explode shingles, self-equi-join on shingle, count common per
+    pair, jaccard = common / (n1 + n2 - common).
+
+    This is the *oracle* path — O(pairs sharing a shingle).  At 100 TB use
+    minhash_lsh_pairs to cut candidates first, then verify with this on the
+    candidate set only.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(col, k)).alias("sh"))
+          .distinct())
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, (F.col("a.sh") == F.col("b.sh")) &
+                     (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (common.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard",
+                       F.col("common") /
+                       (F.col("n_a") + F.col("n_b") - F.col("common"))))
+    return out.filter(F.col("jaccard") >= threshold) \
+        .select("id_a", "id_b", "jaccard")
+
+
+# --- minhash + LSH -----------------------------------------------------------
+
+def minhash_signature(col_shingles: Column, n_hashes: int = 64) -> Column:
+    """Minhash signature as array<bigint>: for permutation i, min over
+    shingles of xxhash64(shingle, seed=i).  Pure native expressions — the
+    whole signature computes inside codegen, no Python.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(
+            col_shingles, lambda s: F.xxhash64(s, i))))
+
+
+def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                      col: str = "text", k: int = 3, n_hashes: int = 64,
+                      bands: int = 16) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: equal band-slice of the
+    minhash signature -> same bucket -> pair.  rows_per_band = n_hashes/bands.
+
+    Scale shape: explode to (band_id, band_hash) — the shuffle key is the
+    band bucket, uniformly hash-distributed; within-bucket self-join only.
+    Output is DISTINCT candidate pairs; verify with ngram_jaccard_pairs.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(shingles(col, k), n_hashes).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice(F.col("sig"), b * rows_per_band + 1,
+                                             rows_per_band),
+                                     lambda x: x.cast("string")))).alias("bucket"))
+        )).alias("bb")) \
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.bucket") == F.col("b.bucket")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
+                  k: int = 3, threshold: float = 0.7, n_hashes: int = 64,
+                  bands: int = 16) -> DataFrame:
+    """LSH candidates verified by exact jaccard — rows that survive dedup.
+    Survivor = smaller id of each confirmed pair wins; every id that appears
+    as a bigger-id duplicate is dropped."""
+    cand = minhash_lsh_pairs(df, id_col=id_col, col=col, k=k,
+                             n_hashes=n_hashes, bands=bands)
+    cand_docs = (df.join(cand.select(F.col("id_a").alias(id_col)).union(
+        cand.select(F.col("id_b").alias(id_col))).distinct(), id_col))
+    verified = ngram_jaccard_pairs(cand_docs, id_col=id_col, col=col, k=k,
+                                   threshold=threshold)
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --- simhash -----------------------------------------------------------------
+
+def simhash64(col: str = "text") -> Column:
+    """64-bit simhash over word hashes: per bit, sign of the sum of
+    (+1 / -1) votes from each word's xxhash64 bit.  Columnar: aggregate over
+    the word array per bit via F.aggregate — no Python, no shuffle."""
+    ws = words(col)
+    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+    def bit_vote(i: Column) -> Column:
+        votes = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        return F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), i)) \
+            .otherwise(F.lit(0).cast("long"))
+    bits = F.transform(F.sequence(F.lit(0), F.lit(63)), bit_vote)
+    return F.aggregate(bits, F.lit(0).cast("long"),
+                       lambda acc, b: acc.bitwiseOR(b))
+
+
+def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                       col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on 16-bit chunks
+    (pigeonhole: distance<=3 over 4 chunks -> at least one chunk equal), so
+    the join is an equi-join on (chunk_no, chunk), never a cross join."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(col).alias("sh"))
+    chunks = sh.select(
+        "id", "sh",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda i: F.struct(i.alias("chunk_no"),
+                               F.shiftright(F.col("sh"), i * 16)
+                               .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+        )).alias("c")) \
+        .select("id", "sh", "c.chunk_no", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (a.join(b, (F.col("a.chunk_no") == F.col("b.chunk_no")) &
+                    (F.col("a.chunk") == F.col("b.chunk")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# --- text analysis -----------------------------------------------------------
+
+EN_STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "is", "it", "that"]
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count (the baseline tokens/sec denominator)."""
+    return F.size(F.split(F.trim(F.col(col)), r"\s+"))
+
+
+def quality_features(df: DataFrame, *, col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features — all integer
+    or exactly-derived doubles so cross-engine comparison is stable."""
+    ws = words(col)
+    n_words = F.size(ws)
+    stop_hits = F.size(F.filter(ws, lambda w: F.lower(w).isin(EN_STOPWORDS)))
+    n_chars = F.length(F.col(col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(col), r"[^\w\s]", ""))
+    return (df
+            .withColumn("n_words", n_words)
+            .withColumn("n_chars_m", n_chars)
+            .withColumn("stop_hits", stop_hits)
+            .withColumn("punct_chars", n_punct)
+            .withColumn("stop_ratio", stop_hits.cast("double") / n_words)
+            .withColumn("avg_word_len",
+                        (n_chars - (n_words - 1)).cast("double") / n_words))
+
+
+def lang_id(df: DataFrame, *, col: str = "text",
+            target: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID heuristic: 'en' when >=2 distinct English
+    stopwords appear, else 'unk'.  (A real model would be a broadcast n-gram
+    profile table + the same argmax-join shape.)"""
+    ws = words(col)
+    hits = F.size(F.array_distinct(
+        F.filter(ws, lambda w: F.lower(w).isin(EN_STOPWORDS))))
+    return df.withColumn(target, F.when(hits >= 2, "en").otherwise("unk"))

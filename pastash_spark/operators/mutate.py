@@ -1,0 +1,153 @@
+"""Mutation / compute operators + plugin gating (SURVEY.md §2.0, §2.2).
+
+All pure column expressions — each maps one reference filter onto
+``withColumn``/``drop``/``select`` so an entire mutate chain compiles into a
+single projection inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pastash_spark.functions.interpolate import compile_template, moment_to_java
+
+
+def rename(df: DataFrame, from_field: str, to_field: str) -> DataFrame:
+    """filter_rename.js:22-28."""
+    return df.withColumnRenamed(from_field, to_field)
+
+
+def gsub(df: DataFrame, field: str, from_regex: str, to: str) -> DataFrame:
+    """Global regex replace (filter_mutate_replace.js:23-30)."""
+    return df.withColumn(field, F.regexp_replace(F.col(field), from_regex, to))
+
+
+def mutate_hash(df: DataFrame, field: str, *, algo: str = "sha256") -> DataFrame:
+    """Replace field with its hash (filter_mutate_hash.js:24-29).
+
+    The reference uses murmur3-128; we default to sha256 (JVM-native, stays in
+    codegen).  ``algo='xxhash64'`` gives the fast 64-bit path.  Bit-for-bit
+    murmur3 parity would need a pandas UDF + mmh3 (not available here) — the
+    semantic contract (stable one-way digest of the string value) is what
+    downstream dedup/routing relies on.
+    """
+    c = F.col(field).cast("string")
+    if algo == "md5":
+        h = F.md5(c)
+    elif algo == "xxhash64":
+        h = F.xxhash64(c).cast("string")
+    else:
+        h = F.sha2(c, 256)
+    return df.withColumn(field, h)
+
+
+def remove_field_when_equal(df: DataFrame, field: str, value) -> DataFrame:
+    """filter_remove_field_when_equal.js:22-27 — null out on equality."""
+    c = F.col(field)
+    return df.withColumn(field, F.when(c.eqNullSafe(F.lit(value)), F.lit(None)).otherwise(c))
+
+
+def omit(df: DataFrame, *, whitelist: Sequence[str] | None = None,
+         blacklist: Sequence[str] | None = None) -> DataFrame:
+    """Projection: keep-only or drop listed columns (filter_omit.js:6-11,31-39).
+    Pure SELECT-list pruning — Catalyst propagates it into the scan."""
+    if whitelist is not None:
+        return df.select(*[c for c in df.columns if c in set(whitelist)])
+    if blacklist is not None:
+        return df.drop(*[c for c in blacklist if c in df.columns])
+    return df
+
+
+def add_tags(df: DataFrame, tags: Sequence[str]) -> DataFrame:
+    """base_component.js:356-365; creates the tags array if absent."""
+    base = (F.coalesce(F.col("tags"), F.array().cast("array<string>"))
+            if "tags" in df.columns else F.array().cast("array<string>"))
+    return df.withColumn("tags", F.array_union(base, F.array(*[F.lit(t) for t in tags])))
+
+
+def remove_tags(df: DataFrame, tags: Sequence[str]) -> DataFrame:
+    """base_component.js:367-379."""
+    if "tags" not in df.columns:
+        return df
+    return df.withColumn(
+        "tags", F.array_except(F.col("tags"), F.array(*[F.lit(t) for t in tags])))
+
+
+def add_fields(df: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """Set fields from interpolated templates (base_component.js:381-390);
+    a template referencing a missing field yields NULL (write suppressed)."""
+    for name, template in fields.items():
+        df = df.withColumn(name, compile_template(template))
+    return df
+
+
+def remove_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """base_component.js:392-395."""
+    return df.drop(*[f for f in fields if f in df.columns])
+
+
+def compute_field(df: DataFrame, field: str, template: str) -> DataFrame:
+    """Derived column from a template (filter_compute_field.js:22-27)."""
+    return df.withColumn(field, compile_template(template))
+
+
+def compute_date_field(df: DataFrame, field: str, date_format: str,
+                       from_field: str = "@timestamp") -> DataFrame:
+    """Format a timestamp column per moment format (filter_compute_date_field.js:28-37)."""
+    src = F.col(from_field) if from_field in df.columns else F.current_timestamp()
+    return df.withColumn(field, F.date_format(src, moment_to_java(date_format)))
+
+
+def eval_expr(df: DataFrame, target: str, expression: str) -> DataFrame:
+    """Safe replacement for the reference's arbitrary-JS eval
+    (filter_eval.js:26-39): the expression is Spark SQL, compiled by Catalyst
+    and executed in codegen.  Covers the tinymath filter too
+    (filter_tinymath.js:27-38) — tinymath's operator/function set is a subset
+    of Spark SQL scalar functions."""
+    return df.withColumn(target, F.expr(expression))
+
+
+tinymath = eval_expr
+
+
+def mustache(df: DataFrame, target: str, template: str) -> DataFrame:
+    """Simple-variable Mustache rendering (filter_mustache.js:25-36):
+    ``{{x}}`` -> field substitution via the interpolation compiler.  Sections /
+    partials are out of scope (the reference recipes use plain variables)."""
+    import re as _re
+    converted = _re.sub(r"\{\{\s*([\w.]+)\s*\}\}", r"#{\1}", template)
+    return df.withColumn(target, compile_template(converted))
+
+
+# --- plugin gating (base_component.js:165-247) -------------------------------
+
+def apply_when(df: DataFrame, cond: Column,
+               op: Callable[[DataFrame], DataFrame]) -> DataFrame:
+    """Apply an operator only to rows satisfying ``cond``; other rows pass
+    through unchanged — the reference's only_type / only_field_* / dynamic-if
+    gating, where a gated-out event skips the plugin
+    (base_component.js:218-247).
+
+    Implemented as branch-and-union: both branches stay lazy, Catalyst pushes
+    the complementary predicates into the shared scan, and new columns appear
+    as NULL on the untouched branch.
+    """
+    cond = F.coalesce(cond, F.lit(False))
+    hit = op(df.filter(cond))
+    miss = df.filter(~cond)
+    for c in hit.columns:
+        if c not in miss.columns:
+            miss = miss.withColumn(c, F.lit(None).cast(hit.schema[c].dataType))
+    for c in miss.columns:
+        if c not in hit.columns:
+            hit = hit.withColumn(c, F.lit(None).cast(miss.schema[c].dataType))
+    return hit.unionByName(miss)
+
+
+def only_type(df: DataFrame, type_value: str,
+              op: Callable[[DataFrame], DataFrame]) -> DataFrame:
+    """base_component.js:165-167."""
+    return apply_when(df, F.col("type") == type_value, op)

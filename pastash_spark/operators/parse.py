@@ -1,0 +1,303 @@
+"""Parsing / projection / predicate operators (SURVEY.md §2.1).
+
+Each reimplements one reference filter's semantics on columns.  Hot paths are
+native Catalyst expressions; multi-field regex extraction offers an
+Arrow-vectorized single-pass mode (one compiled-regex sweep per batch via
+``pandas.Series.str.extract``) because N native ``regexp_extract`` calls
+re-run the regex N times per row — measured crossover is a handful of fields.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pastash_spark.functions.coerce import coerce_numeric_str
+from pastash_spark.functions.grok import CompiledGrok, GrokCompiler
+from pastash_spark.functions.interpolate import moment_to_java
+
+DEFAULT_FIELD = "message"
+
+
+def _add_tag(df: DataFrame, cond: Column, tag: str) -> DataFrame:
+    """Append `tag` to the tags array where cond holds (creates tags col).
+
+    Reference: base_component.js:356-365 (add_tags) used by grok's
+    tag_on_failure (filter_grok.js:151-167)."""
+    tags = F.col("tags") if "tags" in df.columns else F.lit(None).cast("array<string>")
+    base = F.coalesce(tags, F.array().cast("array<string>"))
+    return df.withColumn(
+        "tags", F.when(cond, F.array_union(base, F.array(F.lit(tag)))).otherwise(base)
+    )
+
+
+def regex_extract(
+    df: DataFrame,
+    regex: "CompiledGrok | str",
+    *,
+    field: str = DEFAULT_FIELD,
+    fields: Sequence[str] | None = None,
+    numerical_fields: Sequence[str] = (),
+    date_field: str | None = None,
+    date_format: str | None = None,
+    tag_on_failure: str | None = None,
+    mode: str = "auto",
+) -> DataFrame:
+    """Regex/grok capture extraction with reference coercion semantics.
+
+    Mirrors filter_regex (/root/reference/lib/filters/filter_regex.js:58-70):
+    positional captures -> named columns; no match leaves the row unchanged
+    (columns null) plus optional failure tag (grok semantics,
+    filter_grok.js:151-167); fields named in ``numerical_fields`` go through
+    the regex_helper coercion quirks (-> double, null on mismatch);
+    ``date_format`` (moment syntax) parses ``date_field``'s capture into
+    ``@timestamp``.
+
+    ``regex`` is either a plain pattern with positional groups + ``fields``
+    naming them, or a :class:`CompiledGrok` whose named groups define fields.
+    """
+    if isinstance(regex, CompiledGrok):
+        cg = regex
+        out_fields = list(cg.fields)
+        java_re, py_re = cg.java_regex, cg.python_regex
+        group_of = {f: cg.group_index(f) for f in out_fields}
+    else:
+        if not fields:
+            raise ValueError("plain-regex mode requires `fields`")
+        out_fields = list(fields)
+        java_re, py_re = regex, regex
+        group_of = {f: i + 1 for i, f in enumerate(out_fields)}
+
+    if mode == "auto":
+        mode = "native" if len(out_fields) <= 4 else "arrow"
+
+    src = F.col(field)
+    matched = F.coalesce(src.rlike(java_re), F.lit(False))
+
+    if mode == "native":
+        for f in out_fields:
+            cap = F.regexp_extract(src, java_re, group_of[f])
+            # '' from regexp_extract means unmatched/empty -> absent field
+            val = F.when(matched & (cap != ""), cap)
+            df = df.withColumn(f, val)
+    else:
+        struct_t = T.StructType([T.StructField(f, T.StringType()) for f in out_fields])
+
+        @F.pandas_udf(struct_t)
+        def extract_all(s: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for batch in s:
+                ext = batch.str.extract(py_re)  # one pass, all groups
+                if isinstance(regex, CompiledGrok):
+                    out = ext[out_fields]
+                else:
+                    out = ext
+                    out.columns = out_fields
+                out = out.mask(out == "")  # '' -> null, match native mode
+                yield out
+
+        df = df.withColumn("_ex", extract_all(src))
+        for f in out_fields:
+            df = df.withColumn(f, F.col("_ex")[f])
+        df = df.drop("_ex")
+
+    for f in numerical_fields:
+        if f in out_fields:
+            df = df.withColumn(f, coerce_numeric_str(F.col(f)))
+
+    if date_field and date_format:
+        df = df.withColumn(
+            "@timestamp",
+            F.to_timestamp(F.col(date_field), moment_to_java(date_format)),
+        )
+    if tag_on_failure:
+        df = _add_tag(df, ~matched, tag_on_failure)
+    return df
+
+
+def grok(
+    df: DataFrame,
+    pattern: str,
+    *,
+    field: str = DEFAULT_FIELD,
+    extra_patterns: dict[str, str] | None = None,
+    numerical_fields: Sequence[str] = (),
+    tag_on_failure: str = "_grokparsefailure",
+    mode: str = "auto",
+) -> DataFrame:
+    """Grok = offline-compiled pattern + regex_extract (filter_grok.js:151-167)."""
+    cg = GrokCompiler(extra_patterns).compile(pattern)
+    return regex_extract(
+        df, cg, field=field, numerical_fields=numerical_fields,
+        tag_on_failure=tag_on_failure, mode=mode,
+    )
+
+
+def grep(df: DataFrame, regex: str, *, field: str = DEFAULT_FIELD,
+         invert: bool = False) -> DataFrame:
+    """Keep rows whose field matches (filter_grep.js:26-32)."""
+    m = F.coalesce(F.col(field).rlike(regex), F.lit(False))
+    return df.filter(~m if invert else m)
+
+
+def drop_when(df: DataFrame, cond: Column) -> DataFrame:
+    """filter_drop under a config `if` (filter_drop.js:20-22)."""
+    return df.filter(~F.coalesce(cond, F.lit(False)))
+
+
+def split(df: DataFrame, *, field: str = DEFAULT_FIELD,
+          delimiter: str = "\n") -> DataFrame:
+    """One event per non-empty chunk — the 1->N flatMap
+    (filter_split.js:27-44).  Emits `chunk_no` so downstream ordered/stateful
+    operators keep a deterministic within-message order (SURVEY §7 hard-part a)."""
+    import re as _re
+    parts = F.split(F.col(field), _re.escape(delimiter), -1)
+    out = df.select("*", F.posexplode(parts).alias("chunk_no", "_chunk"))
+    return (out.withColumn(field, F.col("_chunk"))
+            .drop("_chunk")
+            .filter(F.col(field) != ""))
+
+
+def truncate(df: DataFrame, *, field: str = DEFAULT_FIELD,
+             max_size: int = 1024) -> DataFrame:
+    """filter_truncate.js:21-26; array columns use slice (token truncation)."""
+    dtype = df.schema[field].dataType
+    if isinstance(dtype, T.ArrayType):
+        return df.withColumn(field, F.slice(F.col(field), 1, max_size))
+    return df.withColumn(field, F.substring(F.col(field), 1, max_size))
+
+
+def json_fields(df: DataFrame, schema: T.StructType, *,
+                field: str = DEFAULT_FIELD) -> DataFrame:
+    """Parse JSON embedded in the message (from the first '{') and merge its
+    keys into the event (filter_json_fields.js:13-24).  Schema is explicit —
+    plan-time typing instead of the reference's dynamic merge."""
+    payload = F.regexp_extract(F.col(field), r"(\{.*)", 1)
+    parsed = F.from_json(payload, schema)
+    out = df.withColumn("_j", parsed)
+    for f in schema.fieldNames():
+        out = out.withColumn(f, F.col("_j")[f])
+    return out.drop("_j")
+
+
+def csv_parse(df: DataFrame, schema: str | T.StructType, *,
+              field: str = DEFAULT_FIELD, sep: str = ",",
+              quote: str = '"') -> DataFrame:
+    """filter_csv.js:17-44 -> native from_csv."""
+    if isinstance(schema, T.StructType):
+        ddl = ",".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    else:
+        ddl = schema
+    parsed = F.from_csv(F.col(field), F.lit(ddl), {"sep": sep, "quote": quote})
+    out = df.withColumn("_c", parsed)
+    for name in [p.split()[0].strip() for p in ddl.split(",")]:
+        out = out.withColumn(name, F.col("_c")[name])
+    return out.drop("_c")
+
+
+# Label tables from RFC 5424 (public) — the reference embeds the same public
+# tables (filter_syslog_pri.js:12-44).
+SYSLOG_FACILITIES = [
+    "kernel", "user-level", "mail", "daemon", "security/authorization",
+    "syslogd", "line printer", "network news", "uucp", "clock",
+    "security/authorization", "ftp", "ntp", "log audit", "log alert", "clock",
+    "local0", "local1", "local2", "local3", "local4", "local5", "local6",
+    "local7",
+]
+SYSLOG_SEVERITIES = [
+    "emergency", "alert", "critical", "error", "warning", "notice",
+    "informational", "debug",
+]
+
+
+def syslog_pri(df: DataFrame, *, field: str = "syslog_pri",
+               prefix: str = "syslog_") -> DataFrame:
+    """Decode priority int: severity = pri & 7, facility = pri >> 3, plus
+    label lookup (filter_syslog_pri.js:59-67).  Pure bitwise + array index —
+    no join needed for a static 31-entry vocabulary."""
+    pri = F.col(field).cast("int")
+    sev = pri.bitwiseAND(F.lit(7))
+    fac = F.shiftright(pri, 3)
+    sev_labels = F.array(*[F.lit(s) for s in SYSLOG_SEVERITIES])
+    fac_labels = F.array(*[F.lit(s) for s in SYSLOG_FACILITIES])
+    return (df
+            .withColumn(prefix + "severity", sev)
+            .withColumn(prefix + "facility", fac)
+            .withColumn(prefix + "severity_name", F.element_at(sev_labels, sev + 1))
+            .withColumn(prefix + "facility_name",
+                        F.when(fac < len(SYSLOG_FACILITIES),
+                               F.element_at(fac_labels, fac + 1))))
+
+
+def http_status_classifier(df: DataFrame, *, field: str = "status",
+                           target: str = "status_class",
+                           special_codes: Sequence[int] = ()) -> DataFrame:
+    """Bucket status -> '1xx'..'5xx', with passthrough special codes
+    (filter_http_status_classifier.js:33-57)."""
+    s = F.col(field).cast("int")
+    cls = F.concat(F.floor(s / 100).cast("int").cast("string"), F.lit("xx"))
+    if special_codes:
+        cls = F.when(s.isin(list(special_codes)), s.cast("string")).otherwise(cls)
+    return df.withColumn(target, F.when(s.isNotNull() & (s >= 100) & (s < 600), cls))
+
+
+# IANA protocol numbers (public registry) — same 13 the reference maps
+# (filter_ipproto.js:15-29).
+IPPROTO = {1: "icmp", 2: "igmp", 6: "tcp", 17: "udp", 41: "ipv6", 47: "gre",
+           50: "esp", 51: "ah", 58: "ipv6-icmp", 89: "ospf", 94: "ipip",
+           103: "pim", 132: "sctp"}
+
+
+def ipproto(df: DataFrame, *, field: str = "proto",
+            target: str = "proto_name") -> DataFrame:
+    """Static-dict enrichment via a literal MAP expression — stays in codegen;
+    the broadcast-join variant of this pattern lives in operators/enrich.py."""
+    pairs = []
+    for k, v in IPPROTO.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return df.withColumn(target, F.create_map(*pairs)[F.col(field).cast("int")])
+
+
+BUNYAN_LEVELS = [(60, "FATAL"), (50, "ERROR"), (40, "WARN"),
+                 (30, "INFO"), (20, "DEBUG")]
+
+
+def bunyan(df: DataFrame, *, field: str = DEFAULT_FIELD) -> DataFrame:
+    """bunyan NDJSON: parse + canonical renames + numeric level -> name
+    (filter_bunyan.js:5-25,44-63)."""
+    schema = T.StructType([
+        T.StructField("time", T.StringType()),
+        T.StructField("hostname", T.StringType()),
+        T.StructField("msg", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("level", T.IntegerType()),
+        T.StructField("pid", T.IntegerType()),
+    ])
+    out = json_fields(df, schema, field=field)
+    lvl = F.col("level")
+    name = F.lit("TRACE")
+    for threshold, label in reversed(BUNYAN_LEVELS):
+        name = F.when(lvl >= threshold, label).otherwise(name)
+    return (out
+            .withColumn("@timestamp", F.to_timestamp(F.col("time")))
+            .withColumnRenamed("hostname", "host")
+            .withColumn(field, F.coalesce(F.col("msg"), F.col(field)))
+            .drop("msg", "time")
+            .withColumn("level_name", name))
+
+
+def jail(df: DataFrame, target: str, keep: Sequence[str] = ()) -> DataFrame:
+    """Wrap the whole event under one key (filter_jail.js:22-25)."""
+    others = [c for c in df.columns if c not in keep]
+    return df.select(*keep, F.struct(*others).alias(target))
+
+
+def json_schema_serialize(df: DataFrame, fields: Sequence[str],
+                          target: str = "json") -> DataFrame:
+    """Schema-enforced JSON output (filter_json_schema.js:20-47): explicit
+    field list == the JSON schema, enforced at plan time."""
+    return df.withColumn(target, F.to_json(F.struct(*[F.col(f) for f in fields])))

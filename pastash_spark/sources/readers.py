@@ -1,0 +1,64 @@
+"""Input readers (SURVEY.md §2.4).
+
+The reference deserializes each datagram/line with one of three
+unserializers — json_logstash / msgpack / raw interpolated
+(/root/reference/lib/lib/base_input.js:27-77) — then stamps tags/fields.
+Spark's equivalents are schema'd readers; each returns a DataFrame with the
+canonical event columns present.  Streaming twins live in streaming/.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _stamp(df: DataFrame, *, type_value: str | None = None,
+           tags: Sequence[str] = (), add_fields: dict | None = None) -> DataFrame:
+    """Input-side decoration (lib/agent.js:244-248): every input attaches
+    type/tags/fields before the filter chain sees the event."""
+    if type_value is not None:
+        df = df.withColumn("type", F.lit(type_value))
+    if tags:
+        df = df.withColumn("tags", F.array(*[F.lit(t) for t in tags]))
+    for k, v in (add_fields or {}).items():
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def read_lines(spark: SparkSession, path: str, **stamp_kw) -> DataFrame:
+    """Text-file input, one event per line with the raw line as `message`
+    (input_file.js + 'raw' unserializer, base_input.js:59-66).  Adds `path`
+    like the reference's file input does."""
+    df = (spark.read.text(path)
+          .withColumnRenamed("value", "message")
+          .withColumn("path", F.input_file_name()))
+    return _stamp(df, **stamp_kw)
+
+
+def read_ndjson(spark: SparkSession, path: str, schema: T.StructType | str,
+                **stamp_kw) -> DataFrame:
+    """json_logstash unserializer (base_input.js:27-41): newline-delimited
+    JSON events with an explicit schema (plan-time typing)."""
+    df = spark.read.schema(schema).json(path)
+    return _stamp(df, **stamp_kw)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | str,
+             *, header: bool = False, sep: str = ",", **stamp_kw) -> DataFrame:
+    df = spark.read.schema(schema).options(header=header, sep=sep).csv(path)
+    return _stamp(df, **stamp_kw)
+
+
+def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None,
+                 **stamp_kw) -> DataFrame:
+    """Columnar table scan — the engine's primary source (the reference has
+    no columnar format at all, SURVEY §2.6).  Explicit column pruning keeps
+    ReadSchema minimal even before Catalyst prunes."""
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return _stamp(df, **stamp_kw)

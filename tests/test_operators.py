@@ -1,0 +1,328 @@
+"""Operator tests — each mirrors one reference filter unit suite shape:
+(input events, config, expected output events) per
+/root/reference/test/filter_helper.js:14-56."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pastash_spark.operators import correlate as C
+from pastash_spark.operators import enrich as E
+from pastash_spark.operators import mutate as M
+from pastash_spark.operators import parse as P
+from pastash_spark.operators import route as R
+
+
+def msgs(spark, *lines):
+    return spark.createDataFrame([(l,) for l in lines], "message string")
+
+
+# --- parse ------------------------------------------------------------------
+
+def test_regex_extract_native_and_coercion(spark):
+    df = msgs(spark, "error 12 took 3,5s", "no match here")
+    out = P.regex_extract(df, r"^(\w+) (\d+) took ([\d,\.]+)s",
+                          fields=["lvl", "code", "dur"],
+                          numerical_fields=["code", "dur"])
+    rows = {r.message: r for r in out.collect()}
+    hit = rows["error 12 took 3,5s"]
+    assert (hit.lvl, hit.code, hit.dur) == ("error", 12.0, 3.5)
+    miss = rows["no match here"]
+    assert miss.lvl is None and miss.code is None
+
+
+def test_regex_extract_arrow_mode_matches_native(spark):
+    df = msgs(spark, "a=1 b=2 c=3 d=4 e=5", "zzz")
+    kw = dict(fields=list("abcde"),
+              numerical_fields=list("abcde"))
+    pat = r"a=(\d+) b=(\d+) c=(\d+) d=(\d+) e=(\d+)"
+    nat = P.regex_extract(df, pat, mode="native", **kw).orderBy("message").collect()
+    arw = P.regex_extract(df, pat, mode="arrow", **kw).orderBy("message").collect()
+    assert [r.asDict() for r in nat] == [r.asDict() for r in arw]
+
+
+def test_grok_failure_tag(spark):
+    df = msgs(spark, "<13>Feb  5 17:32:18 h app[1]: x", "garbage")
+    out = P.grok(df, r"%{SYSLOGPRI}%{SYSLOGTIMESTAMP:ts} %{NOTSPACE:h} %{SYSLOGPROG}: %{GREEDYDATA:m}",
+                 field="message")
+    rows = {r.message: r for r in out.collect()}
+    assert rows["garbage"].tags == ["_grokparsefailure"]
+    assert rows["<13>Feb  5 17:32:18 h app[1]: x"].tags == []
+    assert rows["<13>Feb  5 17:32:18 h app[1]: x"].program == "app"
+
+
+def test_grep_and_invert(spark):
+    df = msgs(spark, "keep me", "drop me")
+    assert P.grep(df, "^keep").count() == 1
+    assert P.grep(df, "^keep", invert=True).first().message == "drop me"
+
+
+def test_split_with_chunk_no(spark):
+    df = msgs(spark, "a|b||c")
+    out = P.split(df, delimiter="|").orderBy("chunk_no").collect()
+    assert [(r.message, r.chunk_no) for r in out] == [("a", 0), ("b", 1), ("c", 3)]
+
+
+def test_truncate_string_and_array(spark):
+    df = spark.createDataFrame([("abcdef", [1, 2, 3, 4])],
+                               "message string, tokens array<int>")
+    assert P.truncate(df, max_size=3).first().message == "abc"
+    assert P.truncate(df, field="tokens", max_size=2).first().tokens == [1, 2]
+
+
+def test_json_fields_merge(spark):
+    df = msgs(spark, 'prefix {"a": 1, "b": "x"}', "no json")
+    schema = T.StructType([T.StructField("a", T.IntegerType()),
+                           T.StructField("b", T.StringType())])
+    rows = {r.message: r for r in P.json_fields(df, schema).collect()}
+    assert rows['prefix {"a": 1, "b": "x"}'].a == 1
+    assert rows["no json"].a is None
+
+
+def test_csv_parse(spark):
+    df = msgs(spark, 'x,1,"q,uoted"')
+    out = P.csv_parse(df, "f1 string, f2 int, f3 string").first()
+    assert (out.f1, out.f2, out.f3) == ("x", 1, "q,uoted")
+
+
+def test_syslog_pri_decode(spark):
+    df = spark.createDataFrame([("13",), ("165",)], "syslog_pri string")
+    rows = {r.syslog_pri: r for r in P.syslog_pri(df).collect()}
+    # 13 = facility 1 (user-level), severity 5 (notice)
+    assert rows["13"].syslog_facility == 1
+    assert rows["13"].syslog_severity == 5
+    assert rows["13"].syslog_severity_name == "notice"
+    assert rows["13"].syslog_facility_name == "user-level"
+    # 165 = facility 20 (local4), severity 5
+    assert rows["165"].syslog_facility_name == "local4"
+
+
+def test_http_status_classifier(spark):
+    df = spark.createDataFrame([(200,), (404,), (418,), (99,)], "status int")
+    out = P.http_status_classifier(df, special_codes=[418])
+    got = {r.status: r.status_class for r in out.collect()}
+    assert got == {200: "2xx", 404: "4xx", 418: "418", 99: None}
+
+
+def test_ipproto(spark):
+    df = spark.createDataFrame([(6,), (17,), (99,)], "proto int")
+    got = {r.proto: r.proto_name for r in P.ipproto(df).collect()}
+    assert got == {6: "tcp", 17: "udp", 99: None}
+
+
+def test_bunyan(spark):
+    df = msgs(spark, '{"time":"2024-01-01T00:00:00Z","hostname":"h1","msg":"boom","name":"svc","level":50,"pid":9}')
+    r = P.bunyan(df).first()
+    assert r.host == "h1" and r.message == "boom" and r.level_name == "ERROR"
+
+
+def test_jail_and_json_schema(spark):
+    df = spark.createDataFrame([("a", 1)], "s string, n int")
+    j = P.jail(df, "event").first()
+    assert j.event.s == "a" and j.event.n == 1
+    js = P.json_schema_serialize(df, ["s", "n"]).first().json
+    assert js == '{"s":"a","n":1}'
+
+
+# --- mutate -----------------------------------------------------------------
+
+def test_mutate_chain(spark):
+    df = spark.createDataFrame([("hello world", "x")], "message string, t string")
+    out = M.gsub(df, "message", "o", "0")
+    out = M.rename(out, "t", "type")
+    out = M.add_fields(out, {"derived": "#{type}!"})
+    out = M.add_tags(out, ["t1"])
+    out = M.remove_tags(out, ["zzz"])
+    r = out.first()
+    assert r.message == "hell0 w0rld"
+    assert r.type == "x" and r.derived == "x!" and r.tags == ["t1"]
+
+
+def test_remove_field_when_equal_and_omit(spark):
+    df = spark.createDataFrame([("-", 1), ("v", 2)], "f string, n int")
+    out = M.remove_field_when_equal(df, "f", "-")
+    got = {r.n: r.f for r in out.collect()}
+    assert got == {1: None, 2: "v"}
+    assert M.omit(df, whitelist=["n"]).columns == ["n"]
+    assert M.omit(df, blacklist=["n"]).columns == ["f"]
+
+
+def test_mutate_hash_deterministic(spark):
+    df = spark.createDataFrame([("abc",), ("abc",)], "f string")
+    vals = [r.f for r in M.mutate_hash(df, "f").collect()]
+    assert vals[0] == vals[1] and len(vals[0]) == 64
+
+
+def test_eval_expr_and_compute_date(spark):
+    df = spark.createDataFrame([(21,)], "x int")
+    assert M.eval_expr(df, "y", "x * 2 + 1").first().y == 43
+    df2 = spark.createDataFrame([("2024-03-05 06:07:08",)], "ts string") \
+        .withColumn("@timestamp", F.to_timestamp("ts"))
+    assert M.compute_date_field(df2, "d", "YYYY/MM/DD").first().d == "2024/03/05"
+
+
+def test_mustache(spark):
+    df = spark.createDataFrame([("n1", 5)], "name string, n int")
+    assert M.mustache(df, "out", "hi {{name}}:{{n}}").first().out == "hi n1:5"
+
+
+def test_apply_when_gating(spark):
+    df = spark.createDataFrame([("nginx", "a"), ("apache", "b")],
+                               "type string, message string")
+    out = M.only_type(df, "nginx", lambda d: M.add_fields(d, {"hit": "y"}))
+    got = {r.type: r.hit for r in out.collect()}
+    assert got == {"nginx": "y", "apache": None}
+
+
+# --- enrich -----------------------------------------------------------------
+
+def test_broadcast_lookup_left_join(spark):
+    facts = spark.createDataFrame([("web",), ("unknown",)], "source string")
+    dim = spark.createDataFrame([("web", "global")], "source string, region string")
+    got = {r.source: r.region for r in E.broadcast_lookup(facts, dim, "source").collect()}
+    assert got == {"web": "global", "unknown": None}
+
+
+def test_range_lookup(spark):
+    facts = spark.createDataFrame([(5,), (50,)], "v int")
+    ranges = spark.createDataFrame([(0, 10, "low")],
+                                   "range_start int, range_end int, label string")
+    got = {r.v: r.label for r in E.range_lookup(facts, ranges, "v").collect()}
+    assert got == {5: "low", 50: None}
+
+
+def test_geoip_private_skip(spark):
+    facts = spark.createDataFrame([("8.8.8.8",), ("192.168.0.1",)], "ip string")
+    geo = spark.createDataFrame([("8.8.8.8", "US"), ("192.168.0.1", "XX")],
+                                "ip string, country string")
+    got = {r.ip: r.country for r in E.geoip(facts, geo).collect()}
+    assert got == {"8.8.8.8": "US", "192.168.0.1": None}
+
+
+def test_reverse_dns_with_injected_resolver(spark):
+    df = spark.createDataFrame([("1.1.1.1",), ("9.9.9.9",)], "host string")
+    out = E.reverse_dns(df, resolver={"1.1.1.1": "one.one.one.one"})
+    got = {r.host: r.hostname for r in out.collect()}
+    assert got == {"1.1.1.1": "one.one.one.one", "9.9.9.9": None}
+    short = E.reverse_dns(df, resolver={"1.1.1.1": "one.one.one.one"},
+                          only_hostname=True)
+    assert {r.hostname for r in short.collect()} == {"one", None}
+
+
+def test_asof_lookup_set_get(spark):
+    # lru set/get: row t=2 and t=3 read the value set at t=1; t=5 reads t=4's
+    df = spark.createDataFrame(
+        [("k", 1, "set", "v1"), ("k", 2, "get", None), ("k", 3, "get", None),
+         ("k", 4, "set", "v2"), ("k", 5, "get", None)],
+        "key string, t int, action string, value string")
+    out = E.asof_lookup(df, key="key", order="t",
+                        is_set=F.col("action") == "set",
+                        value=F.col("value"), target="got")
+    got = {r.t: r.got for r in out.collect()}
+    assert got == {1: "v1", 2: "v1", 3: "v1", 4: "v2", 5: "v2"}
+
+
+# --- correlate --------------------------------------------------------------
+
+def test_multiline_reassembly(spark):
+    df = spark.createDataFrame(
+        [("h", 1, "START one"), ("h", 2, "  cont1"), ("h", 3, "  cont2"),
+         ("h", 4, "START two"), ("h", 5, "  tail")],
+        "host string, line_no int, message string")
+    out = C.multiline(df, key=["host"], order="line_no",
+                      start_line_regex="^START").orderBy("line_no").collect()
+    assert [r.message for r in out] == ["START one\n  cont1\n  cont2",
+                                       "START two\n  tail"]
+    assert [r.n_lines for r in out] == [3, 2]
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:10:00"),
+         ("u", "2024-01-01 02:00:00")],
+        "user string, ts_s string").withColumn("ts", F.to_timestamp("ts_s"))
+    out = C.sessionize(df, key="user", gap_seconds=1800)
+    got = sorted((r.ts_s, r.session_id) for r in out.collect())
+    assert [s for _, s in got] == [1, 1, 2]
+
+
+def test_forward_fill_correlation(spark):
+    df = spark.createDataFrame(
+        [("c1", 1, "CREATE", "corr-A"), ("c1", 2, "MEDIA", None),
+         ("c1", 3, "DESTROY", None)],
+        "call string, t int, ev string, corr string")
+    out = C.forward_fill_correlation(df, key="call", order="t", value="corr")
+    assert {r.correlation_id for r in out.collect()} == {"corr-A"}
+
+
+def test_bleg_correlation(spark):
+    df = spark.createDataFrame(
+        [("A", None, "corr-1"), ("B", "A", None)],
+        "unique_id string, other_leg_unique_id string, correlation_id string")
+    out = C.bleg_correlation(df)
+    got = {r.unique_id: r.correlation_id for r in out.collect()}
+    assert got == {"A": "corr-1", "B": "corr-1"}
+
+
+def test_cacheloop_aggregate(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, 10.0), ("k1", 2, 20.0), ("k2", 3, 5.0)],
+        "cid string, t int, metric double")
+    out = C.cacheloop_aggregate(df, extract="cid", avg_fields=["metric"],
+                                member_fields=["t", "metric"], order="t",
+                                custom_type="agg")
+    rows = {r.extract: r for r in out.collect()}
+    assert rows["k1"]["count"] == 2 and rows["k1"].avg_metric == 15.0
+    assert [m.t for m in rows["k1"].group] == [1, 2]
+    assert rows["k2"].type == "agg"
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("a", i * 1.0) for i in range(50)] + [("b", 7.0)], "k string, v double")
+    out = C.salted_aggregate(df, key="k",
+                             aggs={"cnt": F.count("*"), "total": F.sum("v"),
+                                   "mean": F.avg("v")})
+    rows = {r.k: r for r in out.collect()}
+    assert rows["a"].cnt == 50 and rows["a"].total == sum(range(50)) * 1.0
+    assert rows["a"].mean == pytest.approx(24.5)
+    assert rows["b"].cnt == 1 and rows["b"].mean == 7.0
+
+
+# --- route ------------------------------------------------------------------
+
+def test_route_first_match_wins_and_default(spark):
+    df = spark.createDataFrame([(1,), (15,), (99,)], "v int")
+    out = R.route(df, [("small", F.col("v") < 10), ("mid", F.col("v") < 50)])
+    got = {r.v: r[R.ROUTE_COL] for r in out.collect()}
+    assert got == {1: "small", 15: "mid", 99: R.DEFAULT_SINK}
+
+
+def test_sink_counts_partition_of_input(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int")
+    routed = R.route(df, [("even", F.col("v") % 2 == 0),
+                          ("div3", F.col("v") % 3 == 0)])
+    counts = {r.sink: r.rows for r in R.sink_counts(routed).collect()}
+    assert sum(counts.values()) == 100
+    assert counts["even"] == 50
+    # div3 only gets odd multiples of 3
+    assert counts["div3"] == len([v for v in range(100) if v % 2 and v % 3 == 0])
+
+
+def test_fan_out_write_and_bypass(spark, tmp_path):
+    df = spark.createDataFrame([(i,) for i in range(20)], "v int")
+    routed = R.route(df, [("even", F.col("v") % 2 == 0)])
+    sinks = R.fan_out_write(routed, str(tmp_path / "out"))
+    assert sinks == [R.DEFAULT_SINK, "even"]
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 20
+    per_sink = {r[R.ROUTE_COL]: r["cnt"] for r in
+                back.groupBy(R.ROUTE_COL).agg(F.count("*").alias("cnt")).collect()}
+    assert per_sink == {"even": 10, R.DEFAULT_SINK: 10}
+
+    agg = C.cacheloop_aggregate(df.withColumn("k", F.lit("x")), extract="k",
+                                collect=False)
+    both = R.bypass_union(df, agg)
+    assert both.count() == 21

@@ -1,0 +1,153 @@
+"""End-to-end flagship pipeline + datagen determinism + lineage resume.
+
+Mirrors the reference's integration layer (test_421_logstash.js routing
+fixtures, test_410 file2file goldens) on the synthetic token table."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pastash_spark import datagen
+from pastash_spark.operators import route as R
+from pastash_spark.plans import flagship
+from pastash_spark.sources.lineage import (
+    BUCKET_COL, LineageLog, run_resumable, with_bucket)
+
+
+def test_datagen_deterministic_and_shaped(spark):
+    a = datagen.token_sequences(spark, 500).orderBy("doc_id").collect()
+    b = datagen.token_sequences(spark, 500).orderBy("doc_id").collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert [r.tokens for r in a] == [r.tokens for r in b]
+    # shape constraints from FIXTURES.md §1
+    for r in a:
+        assert 8 <= r.n_tok <= 2048
+        assert len(r.tokens) == r.n_tok
+        assert all(0 <= t < datagen.VOCAB for t in r.tokens)
+        assert r.source in datagen.SOURCES
+    # skew: `web` should dominate (~40%)
+    from collections import Counter
+    c = Counter(r.source for r in a)
+    assert c["web"] > 0.25 * len(a)
+
+
+def test_datagen_partition_invariant(spark):
+    """Counter-based generation: values don't depend on partitioning."""
+    a = datagen.token_sequences(spark, 300, partitions=2).orderBy("doc_id").collect()
+    b = datagen.token_sequences(spark, 300, partitions=8).orderBy("doc_id").collect()
+    assert [r.tokens for r in a] == [r.tokens for r in b]
+
+
+def _oracle_route(rows: list) -> dict:
+    """Pure-Python oracle for the flagship routing semantics (reference
+    semantics: first-match-wins else-chain, config_mapper.js:32-58)."""
+    lookup = {r[0]: {"region": r[1], "weight": r[2], "tag": r[3]}
+              for r in datagen._LOOKUP_ROWS}
+    sinks = {}
+    for r in rows:
+        # header pri encodes severity = pri & 7
+        import re
+        m = re.match(r"<(\d+)>", r.raw)
+        sev = int(m.group(1)) & 7
+        tag = lookup.get(r.source, {}).get("tag")
+        if sev <= 3:
+            sink = "errors"
+        elif tag == "quality":
+            sink = "quality"
+        elif tag == "code":
+            sink = "code"
+        else:
+            sink = "bulk"
+        sinks.setdefault(sink, []).append(r.doc_id)
+    return sinks
+
+
+def test_flagship_routing_matches_oracle(spark):
+    df = datagen.token_sequences(spark, 2000).cache()
+    try:
+        out = flagship.run(spark, df)
+        routed = out["routed"].select("doc_id", R.ROUTE_COL).collect()
+        got = {}
+        for r in routed:
+            got.setdefault(r[R.ROUTE_COL], []).append(r.doc_id)
+        want = _oracle_route(df.select("doc_id", "raw", "source").collect())
+        assert {k: sorted(v) for k, v in got.items()} == \
+               {k: sorted(v) for k, v in want.items()}
+        # every row in exactly one sink
+        assert sum(len(v) for v in got.values()) == 2000
+    finally:
+        df.unpersist()
+
+
+def test_flagship_parse_fields(spark):
+    out = flagship.run(spark, datagen.token_sequences(spark, 200))
+    rows = out["routed"].select("doc_id", "hdr_ntok", "n_tok", "hdr_doc",
+                                "syslog_severity", "tags").collect()
+    for r in rows:
+        assert r.hdr_ntok == float(r.n_tok)   # parse round-trip
+        assert r.hdr_doc == r.doc_id
+        assert 0 <= r.syslog_severity <= 7
+        assert r.tags == []                   # no grok failures
+
+
+def test_flagship_arrow_and_native_parse_agree(spark):
+    df = datagen.token_sequences(spark, 300).cache()
+    try:
+        nat = flagship.run(spark, df, mode="native")["aggregates"] \
+            .orderBy("sink", "source").collect()
+        arw = flagship.run(spark, df, mode="arrow")["aggregates"] \
+            .orderBy("sink", "source").collect()
+        assert [r.asDict() for r in nat] == [r.asDict() for r in arw]
+    finally:
+        df.unpersist()
+
+
+def test_flagship_aggregates_consistent(spark):
+    out = flagship.run(spark, datagen.token_sequences(spark, 1000))
+    counts = {r.sink: r.rows for r in out["sink_counts"].collect()}
+    aggs = out["aggregates"].collect()
+    per_sink = {}
+    for r in aggs:
+        per_sink[r.sink] = per_sink.get(r.sink, 0) + r["count"]
+    assert per_sink == counts
+    assert sum(counts.values()) == 1000
+
+
+def test_token_array_invariant_through_pipeline(spark):
+    """Per-row invariant vs reference (BASELINE.json input_hint): the token
+    arrays pass through parse/enrich/route untouched."""
+    df = datagen.token_sequences(spark, 300).cache()
+    try:
+        out = flagship.run(spark, df)["routed"]
+        orig = {r.doc_id: r.tokens for r in df.select("doc_id", "tokens").collect()}
+        after = {r.doc_id: r.tokens for r in out.select("doc_id", "tokens").collect()}
+        assert orig == after
+    finally:
+        df.unpersist()
+
+
+# --- lineage / resume -------------------------------------------------------
+
+def test_lineage_resume_skips_done_buckets(spark, tmp_path):
+    df = with_bucket(datagen.token_sequences(spark, 400), n_buckets=4)
+    log = LineageLog(spark, str(tmp_path / "lineage"))
+    calls = []
+
+    def process(subset, buckets):
+        calls.append(sorted(buckets))
+        n = subset.count()
+        return n, n * 10
+
+    stats1 = run_resumable(df, log, process, n_buckets=4, buckets_per_job=2)
+    assert stats1["processed"] == 4 and stats1["skipped"] == 0
+    assert stats1["rows"] == 400
+
+    # resume: everything already committed -> no work
+    stats2 = run_resumable(df, log, process, n_buckets=4, buckets_per_job=2)
+    assert stats2["processed"] == 0 and stats2["skipped"] == 4
+    assert len(calls) == 2  # only the first run's two batches
+
+    m = log.metrics()
+    assert m.filter(F.col("status") == "done").count() == 4
