@@ -56,6 +56,15 @@ def get_spark(
             par = int(master[6:-1])
         shuffle_partitions = max(8, 2 * par)
 
+    # Make the package importable by executor Python workers regardless of
+    # the caller's cwd: local-mode workers inherit the driver environment,
+    # so extend PYTHONPATH before the JVM starts.  (On a real cluster the
+    # same is achieved with spark-submit --py-files of the packaged zip.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
