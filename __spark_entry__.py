@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship parse→enrich→route→aggregate pipeline on the
+                  deterministic synthetic token table (BASELINE.json
+                  input_hint shape), returning the per-sink aggregates.
+queries()       — one entry per implemented operator (SURVEY.md §2 +
+                  training-data ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql()    — matching DuckDB SQL for every SQL-expressible query.
+
+All real logic lives in the pastash_spark package; this module is the thin
+contract layer.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from pastash_spark import datagen  # noqa: E402
+from pastash_spark.plans import flagship  # noqa: E402
+from pastash_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline; driver checks rows>0 and a stable schema.
+
+    Input is the deterministic synthetic token table (seed=42) — the
+    BASELINE.json input_hint shape — generated distributed, never collected.
+    """
+    df = datagen.token_sequences(spark, 5_000)
+    out = flagship.run(spark, df)
+    return out["aggregates"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -16,6 +16,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch(c: Column) -> Column:
+    """Epoch seconds for TIMESTAMP or TIMESTAMP_NTZ columns (NTZ cannot cast
+    to double directly in Spark 4; session TZ is pinned to UTC so the NTZ ->
+    TZ hop is value-preserving)."""
+    return c.cast("timestamp").cast("double")
+
+
 def multiline(df: DataFrame, *, key: Sequence[str], order: str,
               start_line_regex: str, field: str = "message",
               joiner: str = "\n") -> DataFrame:
@@ -60,7 +67,7 @@ def sessionize(df: DataFrame, *, key: str | Sequence[str], ts: str = "ts",
     w = Window.partitionBy(*keys).orderBy(F.col(ts))
     prev = F.lag(F.col(ts)).over(w)
     new_sess = (prev.isNull() |
-                (F.col(ts).cast("double") - prev.cast("double") > gap_seconds)
+                (_epoch(F.col(ts)) - _epoch(prev) > gap_seconds)
                 ).cast("int")
     run = (Window.partitionBy(*keys).orderBy(F.col(ts))
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))

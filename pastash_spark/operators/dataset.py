@@ -169,20 +169,25 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
 
 def simhash64(col: str = "text") -> Column:
     """64-bit simhash over word hashes: per bit, sign of the sum of
-    (+1 / -1) votes from each word's xxhash64 bit.  Columnar: aggregate over
-    the word array per bit via F.aggregate — no Python, no shuffle."""
-    ws = words(col)
-    hashes = F.transform(ws, lambda w: F.xxhash64(w))
-    def bit_vote(i: Column) -> Column:
-        votes = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
-        return F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), i)) \
-            .otherwise(F.lit(0).cast("long"))
-    bits = F.transform(F.sequence(F.lit(0), F.lit(63)), bit_vote)
-    return F.aggregate(bits, F.lit(0).cast("long"),
-                       lambda acc, b: acc.bitwiseOR(b))
+    (+1 / -1) votes from each word's xxhash64 bit.  Columnar: one
+    F.aggregate per bit (64 plan-time expressions, all fused into one
+    codegen'd projection) — no Python, no shuffle.  Bit indexes must be
+    literals (pyspark shiftright takes int, not Column)."""
+    hashes = F.transform(words(col), lambda w: F.xxhash64(w))
+
+    def vote_fn(i: int):
+        # closure (not default-arg) binding: pyspark derives lambda arity
+        # from the signature, so the merge lambda must be exactly 2-ary
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        votes = F.aggregate(hashes, F.lit(0), vote_fn(i))
+        out = out.bitwiseOR(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")))
+    return out
 
 
 def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
@@ -191,14 +196,13 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
     (pigeonhole: distance<=3 over 4 chunks -> at least one chunk equal), so
     the join is an equi-join on (chunk_no, chunk), never a cross join."""
     sh = df.select(F.col(id_col).alias("id"), simhash64(col).alias("sh"))
-    chunks = sh.select(
-        "id", "sh",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(3)),
-            lambda i: F.struct(i.alias("chunk_no"),
-                               F.shiftright(F.col("sh"), i * 16)
-                               .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-        )).alias("c")) \
+    chunk_structs = [
+        F.struct(F.lit(i).alias("chunk_no"),
+                 F.shiftright(F.col("sh"), i * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+        for i in range(4)
+    ]
+    chunks = sh.select("id", "sh", F.explode(F.array(*chunk_structs)).alias("c")) \
         .select("id", "sh", "c.chunk_no", "c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (a.join(b, (F.col("a.chunk_no") == F.col("b.chunk_no")) &

@@ -1,0 +1,137 @@
+"""Pipeline spec -> composed DataFrame DAG (the config layer).
+
+The reference's logstash-grammar config compiles to a flat list of plugin
+URLs executed in order (/root/reference/lib/lib/logstash_config.jison,
+config_mapper.js:26-70).  Here the equivalent IR is a JSON-able list of stage
+dicts; `build` folds them into one lazy DataFrame, compiling `if`/`elif`/
+`else` blocks into gated branches exactly like the reference's
+__dynamic_eval__ (else = conjunction of negated earlier conditions,
+config_mapper.js:32-58).
+
+Spec shape:
+    [{"op": "grok", "pattern": "...", "field": "raw"},
+     {"op": "add_fields", "fields": {"x": "#{a}/#{b}"}},
+     {"op": "if", "cond": <condition AST>, "then": [...stages],
+      "elif": [{"cond": ..., "then": [...]}], "else": [...stages]},
+     {"op": "route", "branches": [["errors", <cond AST>], ...],
+      "default": "bulk"}]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pastash_spark.functions.conditions import compile_condition
+from pastash_spark.operators import correlate as C
+from pastash_spark.operators import enrich as E
+from pastash_spark.operators import mutate as M
+from pastash_spark.operators import parse as P
+from pastash_spark.operators import route as R
+
+StageFn = Callable[..., DataFrame]
+
+# op name -> (function, arg names passed through from the spec dict)
+_REGISTRY: dict[str, StageFn] = {
+    "grok": P.grok,
+    "regex": P.regex_extract,
+    "grep": P.grep,
+    "split": P.split,
+    "truncate": P.truncate,
+    "json_fields": P.json_fields,
+    "csv": P.csv_parse,
+    "syslog_pri": P.syslog_pri,
+    "http_status_classifier": P.http_status_classifier,
+    "ipproto": P.ipproto,
+    "bunyan": P.bunyan,
+    "jail": P.jail,
+    "json_schema": P.json_schema_serialize,
+    "rename": M.rename,
+    "gsub": M.gsub,
+    "mutate_hash": M.mutate_hash,
+    "remove_field_when_equal": M.remove_field_when_equal,
+    "omit": M.omit,
+    "add_tags": M.add_tags,
+    "remove_tags": M.remove_tags,
+    "add_fields": M.add_fields,
+    "remove_fields": M.remove_fields,
+    "compute_field": M.compute_field,
+    "compute_date_field": M.compute_date_field,
+    "eval": M.eval_expr,
+    "mustache": M.mustache,
+    "multiline": C.multiline,
+    "sessionize": C.sessionize,
+    "forward_fill": C.forward_fill_correlation,
+    "cacheloop": C.cacheloop_aggregate,
+    "broadcast_lookup": E.broadcast_lookup,
+    "reverse_dns": E.reverse_dns,
+}
+
+
+def register(name: str, fn: StageFn) -> None:
+    """Plugin SDK: third-party operators register by name, mirroring the
+    reference's @pastash/<type>_<name> npm discovery (lib/agent.js:126-141)."""
+    _REGISTRY[name] = fn
+
+
+def _apply_stage(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    spec = dict(spec)
+    op = spec.pop("op")
+
+    if op == "if":
+        return _apply_if(df, spec)
+    if op == "route":
+        branches = [(name, compile_condition(ast, df.schema))
+                    for name, ast in spec["branches"]]
+        return R.route(df, branches, default=spec.get("default", R.DEFAULT_SINK))
+    if op == "drop":
+        cond = compile_condition(spec["cond"], df.schema)
+        return P.drop_when(df, cond)
+
+    if op not in _REGISTRY:
+        raise KeyError(f"unknown pipeline op {op!r} "
+                       f"(known: {sorted(_REGISTRY)})")
+    fn = _REGISTRY[op]
+
+    gate = spec.pop("only_if", None)
+    only_type = spec.pop("only_type", None)
+    if only_type is not None:
+        gate = {"op": "==", "left": {"field": "type"}, "right": only_type}
+
+    def run(d: DataFrame) -> DataFrame:
+        return fn(d, **spec)
+
+    if gate is not None:
+        return M.apply_when(df, compile_condition(gate, df.schema), run)
+    return run(df)
+
+
+def _apply_if(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """if/elif/else: each branch's ops apply only to its rows; else-branches
+    conjoin negations of all earlier conditions (first-match-wins)."""
+    chains: list[tuple[Any, Sequence[dict]]] = [(spec["cond"], spec["then"])]
+    for e in spec.get("elif", []):
+        chains.append((e["cond"], e["then"]))
+    negated = None
+    out = df
+    for cond_ast, stages in chains:
+        cond = compile_condition(cond_ast, out.schema)
+        eff = cond if negated is None else (negated & cond)
+        out = M.apply_when(out, eff,
+                           lambda d, s=stages: build(d, s))
+        neg = ~F.coalesce(cond, F.lit(False))
+        negated = neg if negated is None else (negated & neg)
+    if spec.get("else"):
+        out = M.apply_when(out, negated, lambda d: build(d, spec["else"]))
+    return out
+
+
+def build(df: DataFrame, stages: Sequence[dict[str, Any]]) -> DataFrame:
+    """Fold the stage list into one lazy plan (the whole chain usually fuses
+    into a single codegen stage — the Catalyst analogue of the reference's
+    one-pass event cascade, lib/agent.js:14-24)."""
+    for spec in stages:
+        df = _apply_stage(df, spec)
+    return df

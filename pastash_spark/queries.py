@@ -39,6 +39,11 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _epoch(c):
+    """Epoch seconds robust to TIMESTAMP_NTZ (session TZ pinned to UTC)."""
+    return c.cast("timestamp").cast("double")
+
+
 # =========================================================================
 # §2.1 parse / predicate operators, exercised on the `events`/`documents`
 # tables (events.props is a JSON string ~ the reference's `message`).
@@ -197,7 +202,7 @@ def q_eval(spark, sf_dir):
 @_q("broadcast_enrich", """
 WITH lk(event_type, weight) AS (VALUES ('click', 1.0), ('view', 0.5),
        ('purchase', 5.0), ('signup', 3.0), ('error', 0.0))
-SELECT e.event_id, lk.weight
+SELECT e.event_id, CAST(lk.weight AS DOUBLE) AS weight
 FROM events e LEFT JOIN lk ON e.event_type = lk.event_type
 """)
 def q_broadcast_enrich(spark, sf_dir):
@@ -260,7 +265,7 @@ def q_sessionize(spark, sf_dir):
     # deterministic tiebreak on event_id to match the oracle exactly
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    new_sess = (prev.isNull() | (F.col("ts").cast("double") - prev.cast("double") > 1800)).cast("int")
+    new_sess = (prev.isNull() | (_epoch(F.col("ts")) - _epoch(prev) > 1800)).cast("int")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = ev.withColumn("session_id", F.sum(new_sess).over(run))
     return sess.groupBy("user_id").agg(
@@ -431,3 +436,287 @@ def q_nation_region(spark, sf_dir):
             .groupBy("r_name")
             .agg(F.count("*").alias("n_customers"),
                  F.sum("c_acctbal").alias("total_bal")))
+
+
+# =========================================================================
+# Training-data pipeline ops (dedup / similarity / text analysis) — the
+# 100 TB-pipeline extensions, on `documents` / `embeddings`.
+# =========================================================================
+
+from pastash_spark.operators import dataset as D          # noqa: E402
+from pastash_spark.operators import similarity as S      # noqa: E402
+
+# Deterministic duplicate injection shared by Spark + oracle: every
+# doc_id % 10 == 0 gets a clone at doc_id+100000 (exact dup), and every
+# doc_id % 20 == 5 gets a near-dup at doc_id+200000 with 'zqx ' prefixed.
+_DUP_ORACLE = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, 'zqx ' || text AS text
+FROM documents WHERE doc_id % 20 = 5
+"""
+
+
+def _with_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (docs.filter(F.col("doc_id") % 10 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    near = (docs.filter(F.col("doc_id") % 20 == 5)
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.lit("zqx "), F.col("text")).alias("text")))
+    return docs.unionByName(exact).unionByName(near)
+
+
+@_q("dedup_exact", f"""
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count
+FROM ({_DUP_ORACLE})
+GROUP BY 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    return D.dedup_exact(_with_dups(spark, sf_dir))
+
+
+@_q("dedup_exact_keep", f"""
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+      PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM ({_DUP_ORACLE}))
+WHERE rn = 1
+""")
+def q_dedup_exact_keep(spark, sf_dir):
+    return D.dedup_exact_keep(_with_dups(spark, sf_dir)).select("doc_id")
+
+
+@_q("ngram_jaccard_pairs", f"""
+WITH docs AS ({_DUP_ORACLE}),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         array_to_string((string_split(text, ' '))[i:i+2], ' ') AS sh
+  FROM docs,
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5
+""")
+def q_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_with_dups(spark, sf_dir), k=3, threshold=0.5)
+
+
+@_q("minhash_lsh_dedup")  # no SQL oracle: xxhash64 not available in DuckDB
+def q_minhash(spark, sf_dir):
+    out = D.dedup_minhash(_with_dups(spark, sf_dir), threshold=0.5)
+    return out.select("doc_id")
+
+
+@_q("simhash_near_pairs")  # no SQL oracle: xxhash64-based
+def q_simhash(spark, sf_dir):
+    return D.simhash_near_pairs(_with_dups(spark, sf_dir), max_hamming=3)
+
+
+@_q("token_stats", """
+SELECT doc_id, len(toks) AS n_tok,
+       list_aggregate(toks, 'sum') AS sum_tok, toks[1] AS first_tok
+FROM (SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            w -> (ascii(w) * 100 + length(w)) % 50257) AS toks
+      FROM documents)
+""")
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.portable_tokenize("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(toks, F.lit(0), lambda a, x: a + x).alias("sum_tok"),
+        F.element_at(toks, 1).alias("first_tok"))
+
+
+@_q("token_count", """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+FROM documents
+""")
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.token_count("text").alias("n_tok"))
+
+
+@_q("quality_features", """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_filter(string_split(text, ' '),
+           w -> list_contains(['the','a','an','of','to','in','and','is','it',
+                               'that'], lower(w)))) AS stop_hits,
+       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+         AS punct_chars
+FROM documents
+""")
+def q_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (D.quality_features(docs)
+            .select("doc_id", "n_words", "stop_hits", "punct_chars"))
+
+
+@_q("lang_id", """
+SELECT doc_id,
+       CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+            w -> list_contains(['the','a','an','of','to','in','and','is','it',
+                                'that'], lower(w))))) >= 2
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+""")
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.lang_id(docs).select("doc_id", "lang_pred")
+
+
+@_q("fingerprint", """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""")
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.fingerprint("text").alias("fp"))
+
+
+@_q("ann_brute_force_topk", """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS sim
+  FROM embeddings c, q WHERE c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""")
+def q_ann_brute(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (S.brute_force_topk(emb, queries, k=5)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+@_q("ann_lsh_topk")  # approximate — no oracle; rows-only check
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (S.lsh_topk(emb, queries, k=5, n_planes=6, dim=64)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+# =========================================================================
+# Flagship pipeline shape, oracle-checked: render a syslog-style header from
+# `documents`, GROK-PARSE it back (the Spark side really runs the regex
+# parse), enrich + route + aggregate.  The oracle computes the same outputs
+# analytically from the base columns — so a parse bug cannot cancel out.
+# =========================================================================
+
+_HDR_SQL = """
+SELECT doc_id, source,
+       len(string_split(text, ' ')) AS n_words,
+       '<' || CAST(doc_id % 192 AS VARCHAR) || '>Jan  5 04:05:06 host'
+           || CAST(doc_id % 20 AS VARCHAR) || ' ' || source
+           || '[' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ']: ntok='
+           || CAST(len(string_split(text, ' ')) AS VARCHAR)
+           || ' doc=' || CAST(doc_id AS VARCHAR) AS raw
+FROM documents
+"""
+
+
+def _docs_with_header(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    raw = F.concat(
+        F.lit("<"), (F.col("doc_id") % 192).cast("string"),
+        F.lit(">Jan  5 04:05:06 host"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(" "), F.col("source"),
+        F.lit("["), (1000 + F.col("doc_id") % 9000).cast("string"),
+        F.lit("]: ntok="), n_words.cast("string"),
+        F.lit(" doc="), F.col("doc_id").cast("string"))
+    return docs.select("doc_id", "source", n_words.alias("n_words"),
+                       raw.alias("raw"))
+
+
+_PIPE_GROK = (r"%{SYSLOGPRI}%{SYSLOGTIMESTAMP:ts_txt} %{NOTSPACE:hostname} "
+              r"%{PROG:program}\[%{POSINT:pid}\]: "
+              r"ntok=%{INT:hdr_ntok} doc=%{NOTSPACE:hdr_doc}")
+
+
+def _parsed_docs(spark, sf_dir, mode="auto"):
+    df = _docs_with_header(spark, sf_dir)
+    df = P.grok(df, _PIPE_GROK, field="raw", mode=mode)
+    return P.syslog_pri(df, field="syslog_pri")
+
+
+@_q("pipeline_grok_parse", f"""
+SELECT doc_id, source AS program,
+       CAST(doc_id % 192 AS INT) % 8 AS syslog_severity,
+       CAST(1000 + doc_id % 9000 AS VARCHAR) AS pid,
+       CAST(len(string_split(text, ' ')) AS VARCHAR) AS hdr_ntok,
+       CAST(doc_id AS VARCHAR) AS hdr_doc,
+       0 AS grok_failures
+FROM documents
+""")
+def q_pipeline_grok(spark, sf_dir):
+    out = _parsed_docs(spark, sf_dir)
+    return out.select(
+        "doc_id", "program", "syslog_severity", "pid", "hdr_ntok", "hdr_doc",
+        F.size(F.col("tags")).alias("grok_failures"))
+
+
+@_q("pipeline_route_agg", """
+WITH parsed AS (
+  SELECT doc_id, source,
+         CAST(doc_id % 192 AS INT) % 8 AS sev,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents),
+routed AS (
+  SELECT *,
+         CASE WHEN sev <= 3 THEN 'errors'
+              WHEN CAST(substring(source, 4) AS INT) % 3 = 0 THEN 'quality'
+              ELSE 'bulk' END AS sink
+  FROM parsed)
+SELECT sink, COUNT(*) AS count, SUM(n_words) AS sum_tokens
+FROM routed GROUP BY sink
+""")
+def q_pipeline_route_agg(spark, sf_dir):
+    parsed = _parsed_docs(spark, sf_dir)
+    src_num = F.substring("program", 4, 10).cast("int")
+    routed = R.route(parsed, [
+        ("errors", F.col("syslog_severity") <= 3),
+        ("quality", src_num % 3 == 0),
+    ], default="bulk")
+    return (routed.groupBy(F.col(R.ROUTE_COL).alias("sink"))
+            .agg(F.count("*").alias("count"),
+                 # parse round-trip: aggregate the PARSED ntok, not n_words
+                 F.sum(F.col("hdr_ntok").cast("long")).alias("sum_tokens")))
+
+
+@_q("pipeline_arrow_parse", """
+SELECT CAST(doc_id % 192 AS INT) % 8 AS sev, COUNT(*) AS n,
+       SUM(CAST(doc_id % 192 AS INT) // 8) AS fac_sum
+FROM documents GROUP BY 1
+""")
+def q_pipeline_arrow(spark, sf_dir):
+    # forces the Arrow single-pass extractor path (mode='arrow')
+    out = _parsed_docs(spark, sf_dir, mode="arrow")
+    return (out.groupBy(F.col("syslog_severity").alias("sev"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("syslog_facility").alias("fac_sum")))

@@ -1,0 +1,78 @@
+"""Pipeline-spec builder tests — the config-layer equivalent of the
+reference's logstash-config e2e suite (/root/reference/test/test_421_logstash
+fixtures: simple, if_regex, else_else_if, grep, fields_tags)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pastash_spark.operators import route as R
+from pastash_spark.plans.builder import build, register
+
+
+def test_simple_chain(spark):
+    df = spark.createDataFrame(
+        [("error 42 here",), ("ok 7 fine",)], "message string")
+    out = build(df, [
+        {"op": "regex", "regex": r"^(\w+) (\d+)", "fields": ["lvl", "code"],
+         "numerical_fields": ["code"]},
+        {"op": "add_fields", "fields": {"summary": "#{lvl}:#{code}"}},
+        {"op": "add_tags", "tags": ["parsed"]},
+    ])
+    rows = {r.lvl: r for r in out.collect()}
+    assert rows["error"].summary == "error:42.0"
+    assert rows["ok"].tags == ["parsed"]
+
+
+def test_if_else_chain_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [("nginx", 1), ("apache", 2), ("other", 3)], "type string, n int")
+    out = build(df, [
+        {"op": "if",
+         "cond": {"op": "==", "left": {"field": "type"}, "right": "nginx"},
+         "then": [{"op": "add_fields", "fields": {"cls": "web-n"}}],
+         "elif": [{"cond": {"op": "==", "left": {"field": "type"},
+                            "right": "apache"},
+                   "then": [{"op": "add_fields", "fields": {"cls": "web-a"}}]}],
+         "else": [{"op": "add_fields", "fields": {"cls": "misc"}}]},
+    ])
+    got = {r.type: r.cls for r in out.collect()}
+    assert got == {"nginx": "web-n", "apache": "web-a", "other": "misc"}
+
+
+def test_only_type_gating_in_spec(spark):
+    df = spark.createDataFrame(
+        [("nginx", "a b"), ("apache", "c d")], "type string, message string")
+    out = build(df, [
+        {"op": "gsub", "field": "message", "from_regex": " ", "to": "_",
+         "only_type": "nginx"},
+    ])
+    got = {r.type: r.message for r in out.collect()}
+    assert got == {"nginx": "a_b", "apache": "c d"}
+
+
+def test_route_and_drop(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    out = build(df, [
+        {"op": "drop", "cond": {"op": ">", "left": {"field": "v"},
+                                "right": 7}},
+        {"op": "route", "branches": [
+            ["low", {"op": "<", "left": {"field": "v"}, "right": 3}]],
+         "default": "rest"},
+    ])
+    got = {r.v: r[R.ROUTE_COL] for r in out.collect()}
+    assert len(got) == 8                      # 8,9 dropped
+    assert got[0] == "low" and got[5] == "rest"
+
+
+def test_register_custom_op(spark):
+    register("double_it", lambda d, field: d.withColumn(field, F.col(field) * 2))
+    df = spark.createDataFrame([(21,)], "x int")
+    assert build(df, [{"op": "double_it", "field": "x"}]).first().x == 42
+
+
+def test_unknown_op_raises(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(KeyError, match="unknown pipeline op"):
+        build(df, [{"op": "nope"}])

@@ -1,0 +1,129 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pastash_spark.operators import dataset as D
+from pastash_spark.operators import multimodal as MM
+from pastash_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+        (3, "a quick brown fox jumps over the lazy dog"),        # near dup
+        (4, "completely different content about spark engines"),
+        (5, "the  quick brown fox jumps over the lazy dog"),     # ws-normalized dup
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_dedup_exact(docs):
+    out = {r.survivor_id: r.dup_count for r in D.dedup_exact(docs).collect()}
+    assert out[1] == 3          # 1, 2, 5 collapse (whitespace-normalized)
+    assert out[3] == 1 and out[4] == 1
+    keep = sorted(r.doc_id for r in D.dedup_exact_keep(docs).collect())
+    assert keep == [1, 3, 4]
+
+
+def test_shingles_and_jaccard(docs):
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0                    # identical
+    assert (1, 3) in got and got[(1, 3)] > 0.5   # near dup
+    assert not any(4 in p for p in got)          # unrelated doc joins nothing
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    cand = D.minhash_lsh_pairs(docs, k=3, n_hashes=64, bands=16).collect()
+    pairs = {(r.id_a, r.id_b) for r in cand}
+    assert (1, 2) in pairs                       # identical always collides
+    assert (1, 3) in pairs or (2, 3) in pairs    # near-dup should band-collide
+    survivors = sorted(r.doc_id for r in
+                       D.dedup_minhash(docs, threshold=0.5).collect())
+    assert survivors == [1, 4]                   # 2,3,5 deduped away
+
+
+def test_simhash_near_pairs(docs):
+    sh = docs.select(D.simhash64("text").alias("s"), "doc_id").collect()
+    by_id = {r.doc_id: r.s for r in sh}
+    assert by_id[1] == by_id[2]                  # identical docs, same simhash
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in D.simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs                   # different doc far away
+
+
+def test_quality_and_lang(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat!"), (2, "zzz qqq")],
+        "doc_id int, text string")
+    q = {r.doc_id: r for r in D.quality_features(df).collect()}
+    assert q[1].n_words == 6
+    assert q[1].stop_hits == 2                   # 'the', 'a'; 'on' not a listed stopword
+    assert q[1].punct_chars == 1
+    lang = {r.doc_id: r.lang_pred for r in D.lang_id(df).collect()}
+    assert lang[1] == "en" and lang[2] == "unk"
+
+
+def test_portable_tokenize(spark):
+    df = spark.createDataFrame([(1, "ab cde")], "doc_id int, text string")
+    toks = df.select(D.portable_tokenize("text").alias("t")).first().t
+    assert toks == [(97 * 100 + 2) % 50257, (99 * 100 + 3) % 50257]
+
+
+def test_ann_brute_force(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    ranked = [r.neighbor_id for r in out.orderBy("rank").collect()]
+    assert ranked == [1, 2, 3]                   # by cosine to [1,0,0]
+
+
+def test_ann_lsh_recall_on_clear_neighbors(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # plant a near-identical neighbor of vec 0
+    rows.append((99, (base[0] + 0.01 * rng.randn(16).astype("float32")).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = S.lsh_topk(emb, q, k=3, n_planes=4, dim=16).collect()
+    assert any(r.neighbor_id == 99 for r in out)  # planted neighbor found
+
+
+def test_multimodal_features_and_frames(spark):
+    rows = [("m1", "image", b"0123456789abcdef" * 4, {"width": "64"}),
+            ("m2", "audio", b"xyz", {"width": "0"}),
+            ("m3", "image", None, {"width": "32"})]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = {r.media_id: r.features for r in
+             MM.extract_features(df, n_features=8).collect()}
+    assert len(feats["m1"]) == 8
+    assert feats["m3"] == [0.0] * 8              # null payload -> zeros
+    again = {r.media_id: r.features for r in
+             MM.extract_features(df, n_features=8).collect()}
+    assert feats == again                        # deterministic
+
+    fr = {r.media_id: r.frames for r in
+          MM.frame_sample(df, every_n=2).collect()}
+    assert [f.frame_no for f in fr["m1"]] == [0, 2]
+    assert fr["m3"] == []
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(df)
+
+
+def test_media_stats_prunes_payload(spark):
+    rows = [("m1", "image", b"abc", {"width": "64"})]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    df.write.mode("overwrite").parquet("/tmp/pastash_media_test")
+    back = spark.read.parquet("/tmp/pastash_media_test")
+    plan = MM.media_stats(back)._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan                 # binary column pruned at scan

