@@ -21,6 +21,7 @@ correlation_events CREATE/ANSWER/DESTROY lifecycle stream for sessionization
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -216,10 +217,16 @@ def correlation_events(spark: SparkSession, n_calls: int, seed: int = SEED) -> D
 
 
 def write_token_table(spark: SparkSession, path: str, n_rows: int,
-                      seed: int = SEED) -> None:
+                      seed: int = SEED, partitions: int | None = None) -> None:
     """Materialize the token table as parquet partitioned the way the real
     job would be: range-partitioned by doc_id so downstream per-doc work is
-    co-located (north rule: explicit partition policy)."""
+    co-located (north rule: explicit partition policy).
+
+    Default split count is sized so the file layout never caps parallelism:
+    at least 2x the machine's cores (a local[32] run over an 8-file table
+    can only schedule 8 scan tasks)."""
+    if partitions is None:
+        partitions = max(2 * (os.cpu_count() or 16), n_rows // 50_000 or 1)
     df = token_sequences(spark, n_rows, seed=seed)
-    df.repartitionByRange(max(8, n_rows // 100_000 or 8), "doc_id") \
+    df.repartitionByRange(partitions, "doc_id") \
       .write.mode("overwrite").parquet(path)

@@ -5,16 +5,21 @@ LRU caches), these are the operations a 100 TB token-pipeline actually needs.
 All are expressed shuffle-consciously:
 
   * exact dedup        one hash-groupBy (partial agg map-side)
-  * minhash LSH        signature via native xxhash64 expressions (no Python),
-                       band -> bucket -> within-bucket pair join; candidate
-                       pairs only, never the full O(n^2) cross join
-  * simhash            weighted bit-vote over token hashes, pure columnar
+  * minhash LSH        signature in one vectorized Arrow pass (pandas C
+                       hashing + numpy permutation matrix), then band ->
+                       bucket -> within-bucket pair join; candidate pairs
+                       only, never the full O(n^2) cross join
+  * simhash            majority bit-vote over word hashes, one Arrow pass
   * n-gram jaccard     shingle explode + equi-join on shingle (the exact
                        small-scale oracle for the LSH path)
-  * quality/lang/count pure column arithmetic
+  * quality/lang/count pure column arithmetic (argument arrays evaluated
+                       once per row — no expressions embedded in HOF lambdas)
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -63,14 +68,31 @@ def dedup_exact_keep(df: DataFrame, *, col: str = "text",
 
 
 # --- shingles + jaccard ------------------------------------------------------
+#
+# PERFORMANCE NOTE: shingling/minhash/simhash are implemented as vectorized
+# Arrow-batched pandas UDFs, NOT as Catalyst higher-order-function lambdas.
+# A lambda like transform(seq, i -> concat_ws(' ', slice(split(text), i, k)))
+# re-evaluates split(text) per array ELEMENT in interpreted (non-codegen)
+# mode — O(words^2) per document, measured as the dominant cost at bench
+# scale.  One Arrow pass with numpy does the whole signature per batch.
 
 def shingles(col: str = "text", k: int = 3) -> Column:
-    """k-word shingle array: concat_ws of each sliding window."""
-    ws = words(col)
-    n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k))))
+    """Distinct k-word shingle array — one vectorized Arrow pass."""
+    @F.pandas_udf("array<string>")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = (t or "").split(" ")
+            if len(ws) <= k:
+                out.append([" ".join(ws)])
+            else:
+                seen = dict.fromkeys(
+                    " ".join(ws[i:i + k]) for i in range(len(ws) - k + 1))
+                out.append(list(seen))
+            # dict.fromkeys = order-preserving distinct
+        return pd.Series(out)
+
+    return sh(F.col(col))
 
 
 def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
@@ -105,15 +127,43 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
 
 # --- minhash + LSH -----------------------------------------------------------
 
-def minhash_signature(col_shingles: Column, n_hashes: int = 64) -> Column:
-    """Minhash signature as array<bigint>: for permutation i, min over
-    shingles of xxhash64(shingle, seed=i).  Pure native expressions — the
-    whole signature computes inside codegen, no Python.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(
-            col_shingles, lambda s: F.xxhash64(s, i))))
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def _perm_coeffs(n_hashes: int, seed: int = 1337):
+    """Deterministic universal-hash coefficients for minhash permutations."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(col: str = "text", k: int = 3,
+                      n_hashes: int = 64) -> Column:
+    """Minhash signature as array<bigint> in ONE vectorized Arrow pass:
+    hash each distinct shingle once (pandas hash_array, C siphash), then all
+    n permutations as one numpy matrix op (a_i * h + b_i mod 2^61-1), min
+    over the shingle axis.  Per-doc cost is O(shingles + n*shingles) in
+    numpy — no per-element interpreted expressions."""
+    a, b = _perm_coeffs(n_hashes)
+
+    @F.pandas_udf("array<bigint>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = (t or "").split(" ")
+            if len(ws) <= k:
+                sh = [" ".join(ws)]
+            else:
+                sh = list(dict.fromkeys(
+                    " ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)))
+            h = pd.util.hash_array(np.asarray(sh, dtype=object),
+                                   categorize=False)
+            hs = (a[:, None] * (h[None, :] % _MERSENNE61) + b[:, None]) % _MERSENNE61
+            out.append(hs.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig(F.col(col))
 
 
 def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
@@ -128,7 +178,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     """
     rows_per_band = n_hashes // bands
     sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(shingles(col, k), n_hashes).alias("sig"))
+                    minhash_signature(col, k, n_hashes).alias("sig"))
     banded = sig.select(
         "id",
         F.explode(F.transform(
@@ -168,26 +218,29 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
 # --- simhash -----------------------------------------------------------------
 
 def simhash64(col: str = "text") -> Column:
-    """64-bit simhash over word hashes: per bit, sign of the sum of
-    (+1 / -1) votes from each word's xxhash64 bit.  Columnar: one
-    F.aggregate per bit (64 plan-time expressions, all fused into one
-    codegen'd projection) — no Python, no shuffle.  Bit indexes must be
-    literals (pyspark shiftright takes int, not Column)."""
-    hashes = F.transform(words(col), lambda w: F.xxhash64(w))
+    """64-bit simhash over word hashes, ONE vectorized Arrow pass per batch:
+    hash all words (C siphash), unpack the 64 bits as a numpy matrix,
+    majority-vote per bit, repack.  (The pure-Catalyst formulation — 64
+    F.aggregate expressions — evaluates interpreted and re-walks the word
+    array per bit; measured ~2 orders slower.)"""
+    bit_idx = np.arange(64, dtype=np.uint64)
 
-    def vote_fn(i: int):
-        # closure (not default-arg) binding: pyspark derives lambda arity
-        # from the signature, so the merge lambda must be exactly 2-ary
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
+            ws = (t or "").split(" ")
+            h = pd.util.hash_array(np.asarray(ws, dtype=object),
+                                   categorize=False)
+            bits = ((h[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[j] = np.int64(
+                np.bitwise_or.reduce(
+                    np.where(votes > 0, np.uint64(1) << bit_idx, np.uint64(0)))
+                .astype(np.int64))
+        return pd.Series(out)
 
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        votes = F.aggregate(hashes, F.lit(0), vote_fn(i))
-        out = out.bitwiseOR(
-            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long")))
-    return out
+    return sh(F.col(col))
 
 
 def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",

@@ -77,16 +77,21 @@ def regex_extract(
         mode = "native" if len(out_fields) <= 4 else "arrow"
 
     src = F.col(field)
-    matched = F.coalesce(src.rlike(java_re), F.lit(False))
 
     if mode == "native":
+        matched = F.coalesce(src.rlike(java_re), F.lit(False))
         for f in out_fields:
             cap = F.regexp_extract(src, java_re, group_of[f])
             # '' from regexp_extract means unmatched/empty -> absent field
             val = F.when(matched & (cap != ""), cap)
             df = df.withColumn(f, val)
     else:
-        struct_t = T.StructType([T.StructField(f, T.StringType()) for f in out_fields])
+        # ONE Arrow pass computes every capture AND the match flag — the
+        # vectorized replacement for the reference's per-event regex callback
+        # (north rule: no per-row Python, no duplicate JVM regex pass).
+        struct_t = T.StructType(
+            [T.StructField(f, T.StringType()) for f in out_fields]
+            + [T.StructField("_matched", T.BooleanType())])
 
         @F.pandas_udf(struct_t)
         def extract_all(s: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -97,13 +102,16 @@ def regex_extract(
                 else:
                     out = ext
                     out.columns = out_fields
-                out = out.mask(out == "")  # '' -> null, match native mode
+                # a matching row has at least one non-NaN group ('' counts:
+                # extract yields '' for matched-empty, NaN for no match)
+                out["_matched"] = ext.notna().any(axis=1)
+                out[out_fields] = out[out_fields].mask(out[out_fields] == "")
                 yield out
 
         df = df.withColumn("_ex", extract_all(src))
+        matched = F.coalesce(F.col("_ex")["_matched"], F.lit(False))
         for f in out_fields:
             df = df.withColumn(f, F.col("_ex")[f])
-        df = df.drop("_ex")
 
     for f in numerical_fields:
         if f in out_fields:
@@ -116,6 +124,8 @@ def regex_extract(
         )
     if tag_on_failure:
         df = _add_tag(df, ~matched, tag_on_failure)
+    if "_ex" in df.columns:
+        df = df.drop("_ex")
     return df
 
 

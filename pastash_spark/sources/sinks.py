@@ -1,0 +1,97 @@
+"""Output sinks (SURVEY.md §2.5).
+
+Every paStash output is a filtered view of the stream plus a transport; the
+table-native equivalents keep the routing/fan-out semantics and swap the
+transport for partitioned columnar writes:
+
+  * interpolated file paths (`#{field}` in filename, output_file.js:154-175)
+    -> dynamic partition columns: one job, one scan, one directory per value
+  * elasticsearch daily indexes (`prefix-YYYY.MM.DD`,
+    elastic_search_helper.js:5-15) -> a date partition column
+  * statsd per-event counters/timers/gauges (output_statsd.js:17-59)
+    -> a groupBy metrics table (per-event emission is an aggregate in
+    table-land; the streaming twin emits per micro-batch)
+  * json_logstash serialization (base_output.js:29-49) -> to_json projection
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pastash_spark.functions.interpolate import _TOKEN_RE
+
+
+def interpolated_path_write(df: DataFrame, base_path: str, template: str,
+                            *, fmt: str = "parquet",
+                            mode: str = "overwrite") -> list[str]:
+    """Dynamic-path fan-out: the reference interpolates `#{field}` into the
+    output filename, creating one writer per distinct value
+    (output_file.js:154-175, writer cache :30-105).  Spark-native: each
+    referenced field becomes a partition column — one scan, one job, a
+    directory per value, no writer cache needed.
+
+    ``template`` like ``"#{type}/#{host}"`` -> partitionBy(type, host).
+    Returns the partition column names used.
+    """
+    fields = [m for m in _TOKEN_RE.findall(template)
+              if not m.startswith("now")]
+    literal_rest = _TOKEN_RE.sub("", template)
+    if re.search(r"[^/\s]", literal_rest):
+        raise ValueError(
+            "path template must be pure #{field} segments (got literal text "
+            f"{literal_rest!r}); encode constants as a column instead")
+    (df.write.mode(mode).partitionBy(*fields).format(fmt).save(base_path))
+    return fields
+
+
+def daily_index_write(df: DataFrame, base_path: str, *, prefix: str = "logs",
+                      ts_col: str = "@timestamp", fmt: str = "parquet",
+                      mode: str = "overwrite") -> DataFrame:
+    """Elasticsearch-style daily index routing (output_elasticsearch.js:42-77,
+    index name `prefix-YYYY.MM.DD` from elastic_search_helper.js:5-15):
+    the index name becomes a partition column, so time-range queries prune
+    whole partitions at the scan."""
+    out = df.withColumn(
+        "_index",
+        F.concat(F.lit(prefix + "-"), F.date_format(F.col(ts_col), "yyyy.MM.dd")))
+    out.write.mode(mode).partitionBy("_index").format(fmt).save(base_path)
+    return out
+
+
+def statsd_metrics(df: DataFrame, *, key_template: str,
+                   value_field: str | None = None) -> DataFrame:
+    """statsd output as an aggregate: per interpolated metric key emit
+    counter (count), and timer stats (sum/avg/max) over ``value_field``
+    (metric grammar output_statsd.js:22-40).  In batch the 'per event
+    emission' collapses into one groupBy; the streaming twin is the same
+    groupBy per micro-batch."""
+    from pastash_spark.functions.interpolate import compile_template
+    key = compile_template(key_template).alias("metric_key")
+    aggs = [F.count("*").alias("counter")]
+    if value_field:
+        v = F.col(value_field).cast("double")
+        aggs += [F.sum(v).alias("timer_sum"), F.avg(v).alias("timer_avg"),
+                 F.max(v).alias("timer_max")]
+    return df.groupBy(key).agg(*aggs)
+
+
+def ndjson_serialize(df: DataFrame, fields: Sequence[str] | None = None,
+                     *, target: str = "json",
+                     timestamp_col: str | None = "@timestamp") -> DataFrame:
+    """json_logstash wire format (base_output.js:29-49): event as one JSON
+    line with `@timestamp` ISO8601-formatted — only at the sink; timestamps
+    stay typed inside the plan."""
+    cols = fields or [c for c in df.columns]
+    struct_fields = []
+    for c in cols:
+        if timestamp_col and c == timestamp_col:
+            struct_fields.append(
+                F.date_format(F.col(c), "yyyy-MM-dd'T'HH:mm:ss.SSSXX")
+                .alias(c))
+        else:
+            struct_fields.append(F.col(c).alias(c))
+    return df.withColumn(target, F.to_json(F.struct(*struct_fields)))

@@ -1,0 +1,84 @@
+"""Sink-layer + URL-config front-end tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pastash_spark.plans.builder import build
+from pastash_spark.plans.urls import parse_url, parse_urls
+from pastash_spark.sources import sinks as S
+
+
+def test_interpolated_path_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("nginx", "h1", 1), ("nginx", "h2", 2), ("apache", "h1", 3)],
+        "type string, host string, n int")
+    cols = S.interpolated_path_write(df, str(tmp_path / "out"), "#{type}/#{host}")
+    assert cols == ["type", "host"]
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 3
+    one = spark.read.parquet(str(tmp_path / "out/type=nginx/host=h2"))
+    assert [r.n for r in one.collect()] == [2]
+
+
+def test_interpolated_path_rejects_literals(spark, tmp_path):
+    df = spark.createDataFrame([("a",)], "type string")
+    with pytest.raises(ValueError, match="pure"):
+        S.interpolated_path_write(df, str(tmp_path / "x"), "prefix-#{type}")
+
+
+def test_daily_index_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-02 10:00:00",)], "ts_s string") \
+        .withColumn("@timestamp", F.to_timestamp("ts_s"))
+    S.daily_index_write(df, str(tmp_path / "es"), prefix="logs")
+    back = spark.read.parquet(str(tmp_path / "es"))
+    idx = sorted(r._index for r in back.select("_index").collect())
+    assert idx == ["logs-2024.01.01", "logs-2024.01.02"]
+
+
+def test_statsd_metrics(spark):
+    df = spark.createDataFrame(
+        [("click", 1.0), ("click", 3.0), ("view", 2.0)],
+        "event_type string, value double")
+    out = {r.metric_key: r for r in
+           S.statsd_metrics(df, key_template="ev.#{event_type}",
+                            value_field="value").collect()}
+    assert out["ev.click"].counter == 2
+    assert out["ev.click"].timer_sum == 4.0
+    assert out["ev.view"].timer_max == 2.0
+
+
+def test_ndjson_serialize_formats_timestamp(spark):
+    df = spark.createDataFrame([("2024-03-05 06:07:08.123",)], "ts_s string") \
+        .withColumn("@timestamp", F.to_timestamp("ts_s")).drop("ts_s")
+    j = S.ndjson_serialize(df).first().json
+    assert '"@timestamp":"2024-03-05T06:07:08.123' in j
+
+
+def test_parse_url_roundtrip():
+    spec = parse_url("filter://grok://?pattern=%{INT:n}+%{WORD:w}&field=raw")
+    assert spec["role"] == "filter" and spec["op"] == "grok"
+    assert spec["pattern"] == "%{INT:n} %{WORD:w}"   # '+' unescaped
+    assert spec["field"] == "raw"
+
+    spec2 = parse_url("filter://regex://?regex=^(\\w+)&fields=a,b&max_size=5")
+    assert spec2["fields"] == ["a", "b"] and spec2["max_size"] == 5
+
+    spec3 = parse_url("input://file:///var/log/app.log?type=app")
+    assert spec3["target"] == "/var/log/app.log" and spec3["type"] == "app"
+
+    with pytest.raises(ValueError, match="bad plugin url"):
+        parse_url("not-a-url")
+
+
+def test_parse_urls_builds_runnable_chain(spark):
+    urls = [
+        "filter://grok://?pattern=%{WORD:lvl}+%{INT:code}&field=message",
+        "filter://mutate_replace://?field=lvl&from_regex=err&to=ERR",
+    ]
+    stages = parse_urls(urls)["filter"]
+    df = spark.createDataFrame([("err 42",)], "message string")
+    out = build(df, stages).first()
+    assert out.lvl == "ERR" and out.code == "42"

@@ -1,5 +1,10 @@
-"""Structured Streaming stateful-operator tests (memory sink, availableNow/
-processAllAvailable) — streaming twins of multiline/cacheloop/lru."""
+"""Structured Streaming stateful-operator tests (memory sink) — streaming
+twins of multiline/cacheloop/lru.
+
+Note: queries using ProcessingTimeTimeout run perpetual state-cleanup
+batches, so ``processAllAvailable()`` never returns on them — tests poll the
+memory sink for the expected row count instead, then stop the query.
+"""
 
 from __future__ import annotations
 
@@ -12,16 +17,18 @@ from pastash_spark.streaming.state import (
     cacheloop_stream, lru_state_stream, multiline_stream)
 
 
-def _drain(query, timeout=60):
-    query.processAllAvailable()
-    query.stop()
-    query.awaitTermination(timeout)
+def _wait_rows(spark, table: str, n: int, timeout: float = 90.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if spark.table(table).count() >= n:
+            return
+        time.sleep(0.5)
+    raise TimeoutError(
+        f"{table}: wanted {n} rows, got {spark.table(table).count()}")
 
 
 def test_cacheloop_stream_sessions(spark, tmp_path):
     src = str(tmp_path / "src")
-    # two bursts for key k1 separated by > gap, one for k2; a final late
-    # burst far in the future advances the watermark so earlier sessions emit
     import os
     os.makedirs(src)
     spark.createDataFrame(
@@ -41,13 +48,17 @@ def test_cacheloop_stream_sessions(spark, tmp_path):
                            avg_fields=["metric"])
     q = (out.writeStream.format("memory").queryName("cl_out")
          .outputMode("append").start())
-    q.processAllAvailable()
-    # second batch pushes watermark past the first sessions
-    spark.createDataFrame(
-        [("2024-01-01 09:00:00", "k9", 1.0)],
-        "ts_s string, correlation_id string, metric double") \
-        .coalesce(1).write.mode("append").json(src)
-    _drain(q)
+    try:
+        q.processAllAvailable()
+        # second batch pushes the watermark past the first sessions
+        spark.createDataFrame(
+            [("2024-01-01 09:00:00", "k9", 1.0)],
+            "ts_s string, correlation_id string, metric double") \
+            .coalesce(1).write.mode("append").json(src)
+        q.processAllAvailable()
+        _wait_rows(spark, "cl_out", 3)
+    finally:
+        q.stop()
 
     rows = {(r.extract, str(r.session_start)): r
             for r in spark.table("cl_out").collect()}
@@ -72,14 +83,17 @@ def test_lru_state_stream_set_get(spark, tmp_path):
     out = lru_state_stream(stream, key="key", ttl_ms=60_000)
     q = (out.writeStream.format("memory").queryName("lru_out")
          .outputMode("append").start())
-    _drain(q)
+    try:
+        _wait_rows(spark, "lru_out", 5)
+    finally:
+        q.stop()
     got = {(r.key, r.seq): r.got for r in spark.table("lru_out").collect()}
     assert got[("k", 2)] == "v1"
     assert got[("k", 4)] == "v2"
     assert got[("j", 1)] is None       # get with nothing set
 
 
-def test_multiline_stream_flush_on_start_line(spark, tmp_path):
+def test_multiline_stream_flush_on_start_line_and_timeout(spark, tmp_path):
     src = str(tmp_path / "src")
     spark.createDataFrame(
         [("h", 1, "START alpha"), ("h", 2, " cont-a"),
@@ -89,21 +103,16 @@ def test_multiline_stream_flush_on_start_line(spark, tmp_path):
     stream = (spark.readStream
               .schema("key string, seq long, message string").json(src))
     out = multiline_stream(stream, key="key", order="seq",
-                           start_line_regex="^START", max_delay_ms=200)
+                           start_line_regex="^START", max_delay_ms=500)
     q = (out.writeStream.format("memory").queryName("ml_out")
          .outputMode("append").start())
-    q.processAllAvailable()
-    # a second micro-batch after the idle timeout flushes the tail buffer
-    time.sleep(0.5)
-    spark.createDataFrame([("z", 9, "START zeta")],
-                          "key string, seq long, message string") \
-        .coalesce(1).write.mode("append").json(src)
-    q.processAllAvailable()
-    time.sleep(0.5)
-    spark.createDataFrame([("z2", 10, "START omega")],
-                          "key string, seq long, message string") \
-        .coalesce(1).write.mode("append").json(src)
-    _drain(q)
+    try:
+        # "START alpha" group flushes when "START beta" arrives (same batch);
+        # "START beta" group flushes via the idle timeout on a later
+        # state-cleanup batch — both observable by polling
+        _wait_rows(spark, "ml_out", 2)
+    finally:
+        q.stop()
     msgs = {r.first_seq: r.message for r in spark.table("ml_out").collect()}
     assert msgs[1] == "START alpha\n cont-a"     # flushed by next start line
     assert msgs.get(3) == "START beta\n cont-b"  # flushed by idle timeout
