@@ -167,3 +167,53 @@ def salted_aggregate(df: DataFrame, *, key: str, aggs: dict[str, Column],
             raise ValueError(f"salted_aggregate supports count/sum/avg, got {fn}")
     partial = salted.groupBy(key, "_salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)
+
+
+def esl_correlate(df: DataFrame, *, key: str = "correlation_id",
+                  ts: str = "ts", event: str = "event_name",
+                  metric: str = "metric") -> DataFrame:
+    """FreeSWITCH-style call correlation (filter_esl.js:137-251) as one
+    batch plan: per call key, propagate the id captured at CHANNEL_CREATE
+    across the whole call (forward fill), mark answered/destroyed lifecycle
+    state, and emit ONE summary row per call — created/answered/destroyed
+    timestamps, duration, event count, avg metric.
+
+    The reference mutates a persistent uuid.db per event (:174-204); here
+    the same outputs derive from an ordered window + one groupBy — shuffle
+    once on the call key.
+    """
+    w = (Window.partitionBy(key).orderBy(F.col(ts))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    enriched = (df
+                .withColumn("_created",
+                            F.last(F.when(F.col(event) == "CHANNEL_CREATE",
+                                          F.col(ts)), ignorenulls=True).over(w))
+                .withColumn("_answered",
+                            F.last(F.when(F.col(event) == "CHANNEL_ANSWER",
+                                          F.col(ts)), ignorenulls=True).over(w)))
+    return (enriched.groupBy(key)
+            .agg(F.min(ts).alias("created_at"),
+                 F.max("_answered").alias("answered_at"),
+                 F.max(F.when(F.col(event) == "CHANNEL_DESTROY", F.col(ts)))
+                 .alias("destroyed_at"),
+                 F.count("*").alias("n_events"),
+                 F.avg(metric).alias("avg_metric"))
+            .withColumn("answered", F.col("answered_at").isNotNull())
+            .withColumn("duration_sec",
+                        _epoch(F.col("destroyed_at"))
+                        - _epoch(F.col("created_at"))))
+
+
+def type_dispatch(df: DataFrame, type_col: str,
+                  handlers: "dict[object, Column]",
+                  target: str, default: Column | None = None) -> DataFrame:
+    """app_janus-style type-dispatched handling (filter_app_janus.js:34-121):
+    the per-type handler table becomes one mutually-exclusive CASE column —
+    evaluated once per row instead of a JS handler lookup per event."""
+    expr = None
+    for tval, col in handlers.items():
+        cond = F.col(type_col) == tval
+        expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+    if default is not None:
+        expr = expr.otherwise(default)
+    return df.withColumn(target, expr)

@@ -720,3 +720,142 @@ def q_pipeline_arrow(spark, sf_dir):
     return (out.groupBy(F.col("syslog_severity").alias("sev"))
             .agg(F.count("*").alias("n"),
                  F.sum("syslog_facility").alias("fac_sum")))
+
+
+# =========================================================================
+# esl correlation, condition DSL, gating, top-k, embedding near-dup
+# =========================================================================
+
+@_q("esl_call_summary", """
+WITH ev AS (
+  SELECT 'call-' || CAST(user_id AS VARCHAR) AS correlation_id, ts, event_id,
+         CASE WHEN event_type = 'signup' THEN 'CHANNEL_CREATE'
+              WHEN event_type = 'purchase' THEN 'CHANNEL_ANSWER'
+              WHEN event_type = 'error' THEN 'CHANNEL_DESTROY'
+              ELSE 'MEDIA' END AS event_name,
+         value AS metric
+  FROM events)
+SELECT correlation_id,
+       MIN(ts) AS created_at,
+       MAX(CASE WHEN event_name = 'CHANNEL_ANSWER' THEN ts END) AS answered_at,
+       MAX(CASE WHEN event_name = 'CHANNEL_DESTROY' THEN ts END) AS destroyed_at,
+       COUNT(*) AS n_events,
+       AVG(metric) AS avg_metric,
+       MAX(CASE WHEN event_name = 'CHANNEL_ANSWER' THEN ts END) IS NOT NULL
+         AS answered,
+       epoch(MAX(CASE WHEN event_name = 'CHANNEL_DESTROY' THEN ts END))
+         - epoch(MIN(ts)) AS duration_sec
+FROM ev GROUP BY correlation_id
+""")
+def q_esl(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("call-"), F.col("user_id").cast("string"))
+        .alias("correlation_id"),
+        "ts", "event_id",
+        F.when(F.col("event_type") == "signup", "CHANNEL_CREATE")
+        .when(F.col("event_type") == "purchase", "CHANNEL_ANSWER")
+        .when(F.col("event_type") == "error", "CHANNEL_DESTROY")
+        .otherwise("MEDIA").alias("event_name"),
+        F.col("value").alias("metric"))
+    return C.esl_correlate(ev)
+
+
+@_q("condition_dsl_routing", """
+SELECT event_id,
+       (CAST(user_id AS VARCHAR) = '7'
+        OR (regexp_matches(CAST(event_type AS VARCHAR), '^p')
+            AND COALESCE(CAST(regexp_extract(CAST(value AS VARCHAR),
+                         '^\\s*([+-]?[0-9]+)', 1) AS BIGINT) > 20, FALSE)))
+       AS hit
+FROM events
+""")
+def q_condition_dsl(spark, sf_dir):
+    """Exercises the condition compiler quirks: == string-compare,
+    =~ regex, > parseInt coercion (condition_evaluator.js:49-66)."""
+    from pastash_spark.functions.conditions import compile_condition
+    ev = _t(spark, sf_dir, "events")
+    ast = {"op": "or",
+           "left": {"op": "==", "left": {"field": "user_id"}, "right": "7"},
+           "right": {"op": "and",
+                     "left": {"op": "=~", "left": {"field": "event_type"},
+                              "right": "^p"},
+                     "right": {"op": ">", "left": {"field": "value"},
+                               "right": 20}}}
+    return ev.select("event_id",
+                     compile_condition(ast, ev.schema).alias("hit"))
+
+
+@_q("gated_mutation", """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'E:' || CAST(user_id AS VARCHAR)
+            ELSE NULL END AS err_key
+FROM events
+""")
+def q_gated(spark, sf_dir):
+    """only_type gating: the mutation applies only to matching rows, others
+    pass through with NULL (base_component.js:165-167 + apply_when)."""
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("event_type", "type")
+    out = M.only_type(ev, "error", lambda d: M.add_fields(
+        d, {"err_key": "E:#{user_id}"}))
+    return out.select("event_id", "err_key")
+
+
+@_q("topk_orders", """
+SELECT o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+WHERE rnk <= 20
+""")
+def q_topk(spark, sf_dir):
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 20)
+            .select("o_orderkey", "o_totalprice", "rnk"))
+
+
+@_q("embedding_near_dup", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) > 0.4
+""")
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs.  At this SF the oracle is the full
+    pairwise join; the Spark path uses the same semantics (the LSH-bucketed
+    variant is ann_lsh_topk's path)."""
+    from pastash_spark.operators.similarity import cosine
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(cosine(F.col("_ea").cast("array<double>"),
+                           F.col("_eb").cast("array<double>")) > 0.4)
+            .select("id_a", "id_b"))
+
+
+@_q("statsd_sink", """
+SELECT 'ev.' || event_type AS metric_key, COUNT(*) AS counter,
+       SUM(value) AS timer_sum, AVG(value) AS timer_avg, MAX(value) AS timer_max
+FROM events GROUP BY event_type
+""")
+def q_statsd_sink(spark, sf_dir):
+    from pastash_spark.sources.sinks import statsd_metrics
+    ev = _t(spark, sf_dir, "events")
+    return statsd_metrics(ev, key_template="ev.#{event_type}",
+                          value_field="value")
+
+
+@_q("ndjson_serialize", """
+SELECT event_id,
+       '{"event_id":' || CAST(event_id AS VARCHAR)
+       || ',"event_type":"' || event_type || '"}' AS json
+FROM events
+""")
+def q_ndjson(spark, sf_dir):
+    from pastash_spark.sources.sinks import ndjson_serialize
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return ndjson_serialize(ev, ["event_id", "event_type"],
+                            timestamp_col=None).select("event_id", "json")
