@@ -217,3 +217,39 @@ def type_dispatch(df: DataFrame, type_col: str,
     if default is not None:
         expr = expr.otherwise(default)
     return df.withColumn(target, expr)
+
+
+def app_sonus_reassemble(df: DataFrame, *, source: str = "path",
+                         order: str = "line_no", field: str = "message",
+                         corr_regex: str = r"Call-ID: (\S+)") -> DataFrame:
+    """Sonus SBC log correlation (filter_app_sonus.js:35-101): multiline SIP
+    reassembly + carried context.  The reference keeps a module-level
+    `ipcache` updated by "sending from"/"Incoming message" lines (:31-57)
+    and buffers payload lines until a blank line flushes (:59-68); the
+    correlation id is regex-extracted from the reassembled Call-ID header
+    (:92-95).
+
+    Batch shape: forward-fill the last-seen direction line per source
+    (the ipcache), group payload lines by running blank-line count, emit
+    one row per message with the extracted correlation_id.
+    """
+    w = (Window.partitionBy(source).orderBy(F.col(order))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    direction = F.when(
+        F.col(field).rlike("sending from|Incoming message"), F.col(field))
+    ctx = df.withColumn("_dir", F.last(direction, ignorenulls=True).over(w))
+    # blank line closes a message; running count of blanks = message group
+    grp = F.sum((F.trim(F.col(field)) == "").cast("int")).over(w)
+    grouped = (ctx.withColumn("_grp", grp)
+               .filter(F.trim(F.col(field)) != "")
+               .filter(~F.col(field).rlike("sending from|Incoming message")))
+    return (grouped.groupBy(source, "_grp")
+            .agg(F.concat_ws("\n", F.array_sort(F.collect_list(
+                     F.struct(F.col(order).alias("o"),
+                              F.col(field).alias("m")))).getField("m"))
+                 .alias("payload"),
+                 F.first("_dir").alias("rcinfo"),
+                 F.min(order).alias(order))
+            .withColumn("correlation_id",
+                        F.regexp_extract("payload", corr_regex, 1))
+            .drop("_grp"))

@@ -62,3 +62,39 @@ def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None =
     if columns:
         df = df.select(*columns)
     return _stamp(df, **stamp_kw)
+
+
+def read_msgpack(spark: SparkSession, path: str,
+                 schema: T.StructType, **stamp_kw) -> DataFrame:
+    """msgpack unserializer (base_input.js:27-41 'msgpack' branch).
+
+    Gated on the msgpack library (not in this container): raises a clear
+    ImportError if absent.  When available: binaryFile scan + mapInPandas
+    unpack — one Arrow batch per file chunk, schema enforced."""
+    try:
+        import msgpack  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "read_msgpack requires the `msgpack` package (not installed in "
+            "this environment); NDJSON/parquet inputs cover the same event "
+            "shapes") from e
+
+    import pandas as pd
+
+    names = schema.fieldNames()
+
+    def unpack(batches):
+        import msgpack as mp
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                unpacker = mp.Unpacker(raw=False)
+                unpacker.feed(blob)
+                for obj in unpacker:
+                    rows.append(tuple(obj.get(n) for n in names))
+            yield pd.DataFrame(rows, columns=names)
+
+    df = (spark.read.format("binaryFile").load(path)
+          .select("content")
+          .mapInPandas(unpack, schema=schema))
+    return _stamp(df, **stamp_kw)

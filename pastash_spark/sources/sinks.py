@@ -19,6 +19,8 @@ from __future__ import annotations
 import re
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -95,3 +97,32 @@ def ndjson_serialize(df: DataFrame, fields: Sequence[str] | None = None,
         else:
             struct_fields.append(F.col(c).alias(c))
     return df.withColumn(target, F.to_json(F.struct(*struct_fields)))
+
+
+def gelf_serialize(df: DataFrame, *, host_col: str = "host",
+                   message_col: str = "message",
+                   level_col: str | None = None,
+                   extra_fields: Sequence[str] = (),
+                   target: str = "gelf") -> DataFrame:
+    """GELF payload construction (output_gelf.js:23-46): version/host/
+    short_message core, `_`-prefixed extras, zlib-deflated bytes.  JSON
+    assembly is native; the deflate is an Arrow-batched pandas UDF over
+    Python's stdlib zlib (the only part Spark lacks natively)."""
+    struct_fields = [
+        F.lit("1.1").alias("version"),
+        F.col(host_col).cast("string").alias("host"),
+        F.col(message_col).cast("string").alias("short_message"),
+    ]
+    if level_col:
+        struct_fields.append(F.col(level_col).cast("int").alias("level"))
+    for ef in extra_fields:
+        struct_fields.append(F.col(ef).cast("string").alias(f"_{ef}"))
+    js = F.to_json(F.struct(*struct_fields))
+
+    @F.pandas_udf("binary")
+    def deflate(s: pd.Series) -> pd.Series:
+        import zlib
+        return s.map(lambda v: zlib.compress(v.encode("utf-8"))
+                     if v is not None else None)
+
+    return df.withColumn(target, deflate(js))

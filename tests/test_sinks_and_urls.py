@@ -82,3 +82,49 @@ def test_parse_urls_builds_runnable_chain(spark):
     df = spark.createDataFrame([("err 42",)], "message string")
     out = build(df, stages).first()
     assert out.lvl == "ERR" and out.code == "42"
+
+
+def test_gelf_serialize_deflates(spark):
+    import zlib, json
+    from pastash_spark.sources.sinks import gelf_serialize
+    df = spark.createDataFrame([("h1", "boom", 3, "svc")],
+                               "host string, message string, level int, app string")
+    blob = gelf_serialize(df, level_col="level",
+                          extra_fields=["app"]).first().gelf
+    doc = json.loads(zlib.decompress(bytes(blob)))
+    assert doc == {"version": "1.1", "host": "h1", "short_message": "boom",
+                   "level": 3, "_app": "svc"}
+
+
+def test_msgpack_reader_gated(spark):
+    import pytest as _pt
+    from pastash_spark.sources.readers import read_msgpack
+    from pyspark.sql import types as T
+    try:
+        import msgpack  # noqa: F401
+        _pt.skip("msgpack installed; gate test not applicable")
+    except ImportError:
+        pass
+    with _pt.raises(ImportError, match="msgpack"):
+        read_msgpack(spark, "/tmp/nope", T.StructType([]))
+
+
+def test_app_sonus_reassembly(spark):
+    from pastash_spark.operators.correlate import app_sonus_reassemble
+    rows = [
+        ("s1", 1, "Incoming message on 10.0.0.1:5060"),
+        ("s1", 2, "INVITE sip:bob SIP/2.0"),
+        ("s1", 3, "Call-ID: abc-123"),
+        ("s1", 4, ""),
+        ("s1", 5, "sending from 10.0.0.2:5060"),
+        ("s1", 6, "SIP/2.0 200 OK"),
+        ("s1", 7, "Call-ID: abc-123"),
+        ("s1", 8, ""),
+    ]
+    df = spark.createDataFrame(rows, "path string, line_no int, message string")
+    out = app_sonus_reassemble(df).orderBy("line_no").collect()
+    assert len(out) == 2
+    assert out[0].payload == "INVITE sip:bob SIP/2.0\nCall-ID: abc-123"
+    assert out[0].correlation_id == "abc-123"
+    assert "Incoming message" in out[0].rcinfo
+    assert "sending from" in out[1].rcinfo
