@@ -120,9 +120,7 @@ class GrokCompiler:
             inner, inner_fields = self.expand(self.patterns[name], _depth + 1)
             if field:
                 safe = re.sub(r"\W", "_", field)
-                if safe in fields:
-                    raise ValueError(f"duplicate grok capture name {safe!r}")
-                fields.append(safe)
+                fields.append(safe)  # duplicates renamed at compile()
                 # nested named captures inside an aliased pattern still count
                 fields.extend(f for f in inner_fields if f not in fields)
                 return f"(?P<{safe}>{inner})"
@@ -132,8 +130,32 @@ class GrokCompiler:
         return _GROK_REF.sub(sub, pattern), fields
 
     def compile(self, pattern: str) -> "CompiledGrok":
-        py_re, fields = self.expand(pattern)
+        py_re, _ = self.expand(pattern)
+        py_re, fields = _dedupe_group_names(py_re)
         return CompiledGrok(py_re, fields)
+
+
+_GROUP_DEF = re.compile(r"\(\?P<(\w+)>")
+
+
+def _dedupe_group_names(pattern: str) -> tuple[str, list[str]]:
+    """Oniguruma (the reference's regex engine) allows duplicate named
+    groups; Python/Java do not.  Composing the same sub-pattern twice
+    (e.g. two %{COMBINEDAPACHELOG}) would redefine nested names like
+    `clientip` — rename later occurrences name_2, name_3, ... and return the
+    final names in group order."""
+    seen: dict[str, int] = {}
+    fields: list[str] = []
+
+    def rename(m: re.Match) -> str:
+        name = m.group(1)
+        n = seen.get(name, 0) + 1
+        seen[name] = n
+        final = name if n == 1 else f"{name}_{n}"
+        fields.append(final)
+        return f"(?P<{final}>"
+
+    return _GROUP_DEF.sub(rename, pattern), fields
 
 
 class CompiledGrok:
