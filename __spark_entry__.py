@@ -25,6 +25,35 @@ from pastash_spark import datagen  # noqa: E402
 from pastash_spark.plans import flagship  # noqa: E402
 from pastash_spark.queries import ORACLES, QUERIES  # noqa: E402
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_shipped: set[str] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make `pastash_spark` importable on executor python workers even when
+    the caller's SparkSession was built without our PYTHONPATH (the driver
+    harness creates its own session): ship the package zip via addPyFile
+    once per application — the same mechanism spark-submit --py-files uses.
+    """
+    app = spark.sparkContext.applicationId
+    if app in _shipped:
+        return
+    zip_path = os.path.join(_REPO, "dist", "pastash_spark.zip")
+    if not os.path.exists(zip_path):
+        import zipfile
+        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            pkg = os.path.join(_REPO, "pastash_spark")
+            for root, _dirs, files in os.walk(pkg):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped.add(app)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship pipeline; driver checks rows>0 and a stable schema.
@@ -32,13 +61,20 @@ def entry(spark: SparkSession) -> DataFrame:
     Input is the deterministic synthetic token table (seed=42) — the
     BASELINE.json input_hint shape — generated distributed, never collected.
     """
+    _ensure_shipped(spark)
     df = datagen.token_sequences(spark, 5_000)
     out = flagship.run(spark, df)
     return out["aggregates"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
