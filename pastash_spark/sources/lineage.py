@@ -96,9 +96,10 @@ def run_resumable(
     process `buckets_per_job` buckets per Spark job (one filter + one write),
     commit each batch's lineage afterwards.
 
-    ``process_and_write(df_subset, bucket_list) -> (rows, tokens)`` runs the
-    pipeline on the subset and writes the sinks idempotently for exactly
-    those buckets.
+    ``process_and_write(df_subset, bucket_list)`` runs the pipeline on the
+    subset and writes the sinks idempotently for exactly those buckets.  It
+    returns either ``(rows, tokens)`` batch totals, or a per-bucket dict
+    ``{bucket: (rows, tokens)}`` for exact per-bucket lineage metrics.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     done = lineage.completed_buckets()
@@ -109,12 +110,21 @@ def run_resumable(
         batch = pending[lo:lo + buckets_per_job]
         t0 = time.time()
         subset = df_bucketed.filter(F.col(BUCKET_COL).isin(batch))
-        rows, tokens = process_and_write(subset, batch)
+        result = process_and_write(subset, batch)
         wall = time.time() - t0
-        for b in batch:
-            lineage.commit(b, run_id=run_id, rows=rows, tokens=tokens,
-                           wall_sec=wall)
+        if isinstance(result, dict):
+            for b in batch:
+                r, t = result.get(b, (0, 0))
+                lineage.commit(b, run_id=run_id, rows=r, tokens=t,
+                               wall_sec=wall)
+                stats["rows"] += r
+                stats["tokens"] += t
+        else:
+            rows, tokens = result
+            for b in batch:
+                lineage.commit(b, run_id=run_id, rows=rows, tokens=tokens,
+                               wall_sec=wall)
+            stats["rows"] += rows or 0
+            stats["tokens"] += tokens or 0
         stats["processed"] += len(batch)
-        stats["rows"] += rows or 0
-        stats["tokens"] += tokens or 0
     return stats

@@ -57,15 +57,19 @@ def main() -> None:
     def process(subset, buckets):
         out = flagship.build(subset, lookup)
         routed = out["routed"]
-        # idempotent per-bucket sink write: overwrite exactly these buckets
+        # Idempotent per-bucket sink write: the bucket column LEADS the
+        # partition layout, so dynamic overwrite replaces exactly this
+        # batch's (bucket, route) partitions — a retry rewrites the same
+        # directories, and later batches can never clobber earlier ones
+        # (partitioning by _route alone would overwrite whole sinks).
         (routed.write.mode("overwrite")
-         .partitionBy("_route")
+         .partitionBy("_bucket", "_route")
          .option("partitionOverwriteMode", "dynamic")
          .parquet(args.output))
-        stats = (routed.groupBy()
-                 .agg(F.count("*").alias("r"), F.sum("n_tok").alias("t"))
-                 .collect()[0])
-        return stats.r or 0, int(stats.t or 0)
+        per_bucket = (routed.groupBy("_bucket")
+                      .agg(F.count("*").alias("r"), F.sum("n_tok").alias("t"))
+                      .collect())
+        return {r["_bucket"]: (r.r, int(r.t)) for r in per_bucket}
 
     t0 = time.time()
     stats = run_resumable(bucketed, log, process, n_buckets=args.buckets,
