@@ -73,6 +73,13 @@ def regex_extract(
         java_re, py_re = regex, regex
         group_of = {f: i + 1 for i, f in enumerate(out_fields)}
 
+    # Java character classes (\w \b \s) are ASCII-only by default while
+    # Python's are Unicode — the two modes must agree on accented text
+    # (Oniguruma, the reference grok engine, is Unicode-aware too).  (?U)
+    # turns on UNICODE_CHARACTER_CLASS for the whole Java pattern.
+    if not java_re.startswith("(?U)"):
+        java_re = "(?U)" + java_re
+
     if mode == "auto":
         mode = "native" if len(out_fields) <= 4 else "arrow"
 
