@@ -859,3 +859,51 @@ def q_ndjson(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
     return ndjson_serialize(ev, ["event_id", "event_type"],
                             timestamp_col=None).select("event_id", "json")
+
+
+@_q("revenue_by_nation", """
+SELECT n.n_name, r.r_name,
+       SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""")
+def q_revenue_by_nation(spark, sf_dir):
+    """5-way join: big-big shuffle join (lineitem x orders) + broadcast
+    chain for the dims — the canonical mixed join-strategy plan."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name", "r_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+@_q("metrics_rollup", """
+SELECT COALESCE(event_type, '__all__') AS event_type,
+       COALESCE(CAST(user_id % 10 AS VARCHAR), '__all__') AS user_band,
+       COUNT(*) AS n, SUM(value) AS total
+FROM events
+GROUP BY ROLLUP (event_type, CAST(user_id % 10 AS VARCHAR))
+""")
+def q_metrics_rollup(spark, sf_dir):
+    """Hierarchical metrics rollup (the statsd-tree analogue): one pass,
+    grouping-sets partial aggregation."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_band", (F.col("user_id") % 10).cast("string"))
+    return (ev.rollup("event_type", "user_band")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .select(F.coalesce("event_type", F.lit("__all__")).alias("event_type"),
+                    F.coalesce("user_band", F.lit("__all__")).alias("user_band"),
+                    "n", "total"))
