@@ -236,14 +236,14 @@ def q_asof_lru(spark, sf_dir):
 # =========================================================================
 
 @_q("cacheloop_agg", """
-SELECT user_id AS extract, COUNT(*) AS count, AVG(value) AS avg_value
+SELECT user_id AS extract, COUNT(*) AS count, ROUND(AVG(value), 6) AS avg_value
 FROM events GROUP BY user_id
 """)
 def q_cacheloop(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return C.cacheloop_aggregate(ev, extract="user_id",
-                                 avg_fields=["value"], collect=False) \
-        .withColumnRenamed("avg_value", "avg_value")
+    out = C.cacheloop_aggregate(ev, extract="user_id",
+                                avg_fields=["value"], collect=False)
+    return out.withColumn("avg_value", F.round("avg_value", 6))
 
 
 @_q("sessionize", """
@@ -359,26 +359,26 @@ def q_routing_rows(spark, sf_dir):
 
 
 @_q("per_sink_aggregates", f"""
-SELECT sink, event_type, COUNT(*) AS count, SUM(value) AS sum_value
+SELECT sink, event_type, COUNT(*) AS count, ROUND(SUM(value), 4) AS sum_value
 FROM (SELECT *, {ROUTING_ORACLE_CASE} AS sink FROM events)
 GROUP BY sink, event_type
 """)
 def q_per_sink_agg(spark, sf_dir):
     routed = _routed_events(spark, sf_dir)
     return (routed.groupBy(F.col(R.ROUTE_COL).alias("sink"), "event_type")
-            .agg(F.count("*").alias("count"), F.sum("value").alias("sum_value")))
+            .agg(F.count("*").alias("count"), F.round(F.sum("value"), 4).alias("sum_value")))
 
 
 @_q("statsd_metrics", """
 SELECT 'events.' || event_type AS metric_key,
-       COUNT(*) AS counter, SUM(value) AS timer_sum
+       COUNT(*) AS counter, ROUND(SUM(value), 4) AS timer_sum
 FROM events GROUP BY event_type
 """)
 def q_statsd(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy(F.concat(F.lit("events."), F.col("event_type"))
                        .alias("metric_key"))
-            .agg(F.count("*").alias("counter"), F.sum("value").alias("timer_sum")))
+            .agg(F.count("*").alias("counter"), F.round(F.sum("value"), 4).alias("timer_sum")))
 
 
 # =========================================================================
@@ -387,9 +387,9 @@ def q_statsd(spark, sf_dir):
 
 @_q("pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity) AS sum_qty,
-       SUM(l_extendedprice) AS sum_base_price,
-       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-02'
@@ -399,15 +399,15 @@ def q_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum("l_quantity").alias("sum_qty"),
-                 F.sum("l_extendedprice").alias("sum_base_price"),
-                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                  .alias("sum_disc_price"),
                  F.count("*").alias("count_order")))
 
 
 @_q("segment_order_stats", """
-SELECT c.c_mktsegment, COUNT(*) AS n_orders, SUM(o.o_totalprice) AS revenue
+SELECT c.c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 4) AS revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """)
@@ -417,11 +417,11 @@ def q_segment(spark, sf_dir):
     return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_orders"),
-                 F.sum("o_totalprice").alias("revenue")))
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue")))
 
 
 @_q("nation_region_rollup", """
-SELECT r.r_name, COUNT(*) AS n_customers, SUM(c.c_acctbal) AS total_bal
+SELECT r.r_name, COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 4) AS total_bal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -435,7 +435,7 @@ def q_nation_region(spark, sf_dir):
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("r_name")
             .agg(F.count("*").alias("n_customers"),
-                 F.sum("c_acctbal").alias("total_bal")))
+                 F.round(F.sum("c_acctbal"), 4).alias("total_bal")))
 
 
 # =========================================================================
@@ -740,7 +740,7 @@ SELECT correlation_id,
        MAX(CASE WHEN event_name = 'CHANNEL_ANSWER' THEN ts END) AS answered_at,
        MAX(CASE WHEN event_name = 'CHANNEL_DESTROY' THEN ts END) AS destroyed_at,
        COUNT(*) AS n_events,
-       AVG(metric) AS avg_metric,
+       ROUND(AVG(metric), 6) AS avg_metric,
        MAX(CASE WHEN event_name = 'CHANNEL_ANSWER' THEN ts END) IS NOT NULL
          AS answered,
        epoch(MAX(CASE WHEN event_name = 'CHANNEL_DESTROY' THEN ts END))
@@ -757,7 +757,8 @@ def q_esl(spark, sf_dir):
         .when(F.col("event_type") == "error", "CHANNEL_DESTROY")
         .otherwise("MEDIA").alias("event_name"),
         F.col("value").alias("metric"))
-    return C.esl_correlate(ev)
+    return C.esl_correlate(ev).withColumn("avg_metric",
+                                          F.round("avg_metric", 6))
 
 
 @_q("condition_dsl_routing", """
@@ -838,14 +839,17 @@ def q_embedding_near_dup(spark, sf_dir):
 
 @_q("statsd_sink", """
 SELECT 'ev.' || event_type AS metric_key, COUNT(*) AS counter,
-       SUM(value) AS timer_sum, AVG(value) AS timer_avg, MAX(value) AS timer_max
+       ROUND(SUM(value), 4) AS timer_sum, ROUND(AVG(value), 6) AS timer_avg,
+       MAX(value) AS timer_max
 FROM events GROUP BY event_type
 """)
 def q_statsd_sink(spark, sf_dir):
     from pastash_spark.sources.sinks import statsd_metrics
     ev = _t(spark, sf_dir, "events")
-    return statsd_metrics(ev, key_template="ev.#{event_type}",
-                          value_field="value")
+    out = statsd_metrics(ev, key_template="ev.#{event_type}",
+                         value_field="value")
+    return (out.withColumn("timer_sum", F.round("timer_sum", 4))
+            .withColumn("timer_avg", F.round("timer_avg", 6)))
 
 
 @_q("ndjson_serialize", """
@@ -863,7 +867,7 @@ def q_ndjson(spark, sf_dir):
 
 @_q("revenue_by_nation", """
 SELECT n.n_name, r.r_name,
-       SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -885,7 +889,7 @@ def q_revenue_by_nation(spark, sf_dir):
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("n_name", "r_name")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                  .alias("revenue"),
                  F.count("*").alias("n_items")))
 
@@ -893,7 +897,7 @@ def q_revenue_by_nation(spark, sf_dir):
 @_q("metrics_rollup", """
 SELECT COALESCE(event_type, '__all__') AS event_type,
        COALESCE(CAST(user_id % 10 AS VARCHAR), '__all__') AS user_band,
-       COUNT(*) AS n, SUM(value) AS total
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total
 FROM events
 GROUP BY ROLLUP (event_type, CAST(user_id % 10 AS VARCHAR))
 """)
@@ -903,7 +907,7 @@ def q_metrics_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "user_band", (F.col("user_id") % 10).cast("string"))
     return (ev.rollup("event_type", "user_band")
-            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
             .select(F.coalesce("event_type", F.lit("__all__")).alias("event_type"),
                     F.coalesce("user_band", F.lit("__all__")).alias("user_band"),
                     "n", "total"))
