@@ -48,13 +48,24 @@ def fan_out_write(df: DataFrame, base_path: str, *,
     Uses ONE dynamic-partitioned write on the route column (the Spark-native
     version of the reference's interpolated output paths,
     output_file.js:154-175): a single job, one scan, per-sink directories
-    ``{base_path}/{target}=<sink>/``.  Returns the sink names written.
+    ``{base_path}/{target}=<sink>/``.  Returns the sink names written,
+    derived from the written partition directories — NOT from a pre-write
+    ``distinct().collect()``, which would cost a second full scan of the
+    routed data before the real job.
     """
-    sinks = [r[0] for r in df.select(target).distinct().collect()]
     (df.write.mode(mode)
        .partitionBy(target, *partition_cols)
        .format(fmt)
        .save(base_path))
+    spark = df.sparkSession
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    sinks = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{target}="):
+            sinks.append(name.split("=", 1)[1])
     return sorted(sinks)
 
 

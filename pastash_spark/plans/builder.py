@@ -108,24 +108,41 @@ def _apply_stage(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return run(df)
 
 
+_IF_SEQ = 0
+
+
 def _apply_if(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
-    """if/elif/else: each branch's ops apply only to its rows; else-branches
-    conjoin negations of all earlier conditions (first-match-wins)."""
+    """if/elif/else with first-match-wins decided on the ORIGINAL rows.
+
+    All branch conditions compile into ONE when-cascade that materializes a
+    hidden branch-index column BEFORE any branch body runs; each body is then
+    gated on that precomputed index.  A branch that mutates the very field
+    its own condition tested therefore cannot re-trigger a later elif/else —
+    the reference evaluates the whole chain against the incoming event once
+    (config_mapper.js:32-58)."""
+    global _IF_SEQ
+    _IF_SEQ += 1
+    idx_col = f"_branch_idx_{_IF_SEQ}"   # unique per if-block (nesting-safe)
+
     chains: list[tuple[Any, Sequence[dict]]] = [(spec["cond"], spec["then"])]
     for e in spec.get("elif", []):
         chains.append((e["cond"], e["then"]))
-    negated = None
-    out = df
-    for cond_ast, stages in chains:
-        cond = compile_condition(cond_ast, out.schema)
-        eff = cond if negated is None else (negated & cond)
-        out = M.apply_when(out, eff,
-                           lambda d, s=stages: build(d, s))
-        neg = ~F.coalesce(cond, F.lit(False))
-        negated = neg if negated is None else (negated & neg)
+    expr = None
+    for i, (cond_ast, _) in enumerate(chains):
+        cond = F.coalesce(compile_condition(cond_ast, df.schema), F.lit(False))
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    bodies: list[Sequence[dict]] = [stages for _, stages in chains]
     if spec.get("else"):
-        out = M.apply_when(out, negated, lambda d: build(d, spec["else"]))
-    return out
+        expr = expr.otherwise(len(bodies))
+        bodies.append(spec["else"])
+    else:
+        expr = expr.otherwise(-1)
+
+    out = df.withColumn(idx_col, expr)
+    for i, stages in enumerate(bodies):
+        out = M.apply_when(out, F.col(idx_col) == i,
+                           lambda d, s=stages: build(d, s))
+    return out.drop(idx_col)
 
 
 def build(df: DataFrame, stages: Sequence[dict[str, Any]]) -> DataFrame:

@@ -11,8 +11,10 @@ Supported shape:  <role>://<op>://<target>?k=v&k2=v2
   role    filter | input | output   (role is carried through; builder runs
                                      filters, callers wire inputs/outputs)
   target  optional positional (e.g. file path, field name)
-  query   op parameters; `+` unescapes to space (url_parser.js:18);
-          comma-lists split; `only_type` / conditions pass through
+  query   op parameters; a literal `+` is PRESERVED (url_parser.js:18
+          protects '+' as %2B before querystring.parse, so regex params like
+          `\\w+` survive; spaces must be %20); comma-lists split;
+          `only_type` / conditions pass through
 """
 
 from __future__ import annotations
@@ -51,8 +53,10 @@ def parse_url(url: str) -> dict[str, Any]:
                             "op": _ALIASES.get(name, name)}
     if target:
         spec["target"] = urllib.parse.unquote(target)
+    # url_parser.js:18: protect literal '+' BEFORE parsing — parse_qsl would
+    # otherwise decode it to a space, corrupting regex params like '\w+'.
+    qs = qs.replace("+", "%2B")
     for k, v in urllib.parse.parse_qsl(qs):
-        v = v.replace("+", " ")  # url_parser.js:18 plus-unescaping
         if k in _LIST_PARAMS:
             spec[k] = v.split(",")
         elif k in _INT_PARAMS:

@@ -250,10 +250,10 @@ def q_cacheloop(spark, sf_dir):
 SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
-         SUM(CASE WHEN prev_ts IS NULL
+         CAST(SUM(CASE WHEN prev_ts IS NULL
                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM (SELECT user_id, ts, event_id,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events))
@@ -279,9 +279,9 @@ SELECT user_id, grp,
        COUNT(*) AS n_lines
 FROM (
   SELECT user_id, ts, event_id, event_type,
-         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS grp
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
   FROM events)
 GROUP BY user_id, grp
 """)
@@ -529,7 +529,8 @@ def q_simhash(spark, sf_dir):
 
 @_q("token_stats", """
 SELECT doc_id, len(toks) AS n_tok,
-       list_aggregate(toks, 'sum') AS sum_tok, toks[1] AS first_tok
+       CAST(list_aggregate(toks, 'sum') AS BIGINT) AS sum_tok,
+       toks[1] AS first_tok
 FROM (SELECT doc_id,
              list_transform(string_split(text, ' '),
                             w -> (ascii(w) * 100 + length(w)) % 50257) AS toks
@@ -693,7 +694,7 @@ routed AS (
               WHEN CAST(substring(source, 4) AS INT) % 3 = 0 THEN 'quality'
               ELSE 'bulk' END AS sink
   FROM parsed)
-SELECT sink, COUNT(*) AS count, SUM(n_words) AS sum_tokens
+SELECT sink, COUNT(*) AS count, CAST(SUM(n_words) AS BIGINT) AS sum_tokens
 FROM routed GROUP BY sink
 """)
 def q_pipeline_route_agg(spark, sf_dir):
@@ -711,7 +712,7 @@ def q_pipeline_route_agg(spark, sf_dir):
 
 @_q("pipeline_arrow_parse", """
 SELECT CAST(doc_id % 192 AS INT) % 8 AS sev, COUNT(*) AS n,
-       SUM(CAST(doc_id % 192 AS INT) // 8) AS fac_sum
+       CAST(SUM(CAST(doc_id % 192 AS INT) // 8) AS BIGINT) AS fac_sum
 FROM documents GROUP BY 1
 """)
 def q_pipeline_arrow(spark, sf_dir):
@@ -809,12 +810,17 @@ SELECT o_orderkey, o_totalprice, rnk FROM (
 WHERE rnk <= 20
 """)
 def q_topk(spark, sf_dir):
+    """Global top-k WITHOUT a global window: orderBy().limit(k) compiles to
+    TakeOrderedAndProject (per-partition top-k + tiny final merge on the
+    driver-side reduce), so no single task ever sees the whole table.  The
+    row_number window then runs over just the k surviving rows."""
     from pyspark.sql import Window
     o = _t(spark, sf_dir, "orders")
+    top = (o.select("o_orderkey", "o_totalprice")
+           .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+           .limit(20))
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (o.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= 20)
-            .select("o_orderkey", "o_totalprice", "rnk"))
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 @_q("embedding_near_dup", """

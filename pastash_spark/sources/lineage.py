@@ -59,9 +59,14 @@ class LineageLog:
     def completed_buckets(self) -> set[int]:
         if not _exists(self.path):
             return set()
-        rows = (self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
-                .filter(F.col("status") == "done")
-                .select("bucket").distinct().collect())
+        try:
+            rows = (self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
+                    .filter(F.col("status") == "done")
+                    .select("bucket").distinct().collect())
+        except Exception as e:  # first run on object storage: path absent
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return set()
+            raise
         return {r.bucket for r in rows}
 
     def commit(self, bucket: int, *, run_id: str, rows: int | None = None,
@@ -77,7 +82,7 @@ class LineageLog:
 
 
 def _exists(path: str) -> bool:
-    if "://" in path:  # non-local fs: let spark probe
+    if "://" in path:  # non-local fs: probe inside completed_buckets instead
         return True
     return os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path))
@@ -121,8 +126,13 @@ def run_resumable(
                 stats["tokens"] += t
         else:
             rows, tokens = result
-            for b in batch:
-                lineage.commit(b, run_id=run_id, rows=rows, tokens=tokens,
+            # batch totals: apportion across the committed buckets so the
+            # persisted table SUMs to the true totals (remainder -> first)
+            n = len(batch)
+            for i, b in enumerate(batch):
+                r = (rows or 0) // n + (1 if i < (rows or 0) % n else 0)
+                t = (tokens or 0) // n + (1 if i < (tokens or 0) % n else 0)
+                lineage.commit(b, run_id=run_id, rows=r, tokens=t,
                                wall_sec=wall)
             stats["rows"] += rows or 0
             stats["tokens"] += tokens or 0

@@ -33,9 +33,13 @@ def cacheloop_stream(df: DataFrame, *, key: str = "correlation_id",
             .groupBy(F.session_window(F.col(ts), gap).alias("session"),
                      F.col(key).alias("extract"))
             .agg(*aggs)
-            .select("extract", F.col("session.start").alias("session_start"),
-                    F.col("session.end").alias("session_end"), "*")
-            .drop("session"))
+            # explicit column list: '*' would re-expand 'extract' into a
+            # duplicate column and break downstream select/groupBy with
+            # AMBIGUOUS_REFERENCE
+            .select("extract",
+                    F.col("session.start").alias("session_start"),
+                    F.col("session.end").alias("session_end"),
+                    "count", *[f"avg_{f}" for f in avg_fields]))
 
 
 def lru_state_stream(df: DataFrame, *, key: str, action: str = "action",

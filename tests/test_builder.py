@@ -41,6 +41,47 @@ def test_if_else_chain_first_match_wins(spark):
     assert got == {"nginx": "web-n", "apache": "web-a", "other": "misc"}
 
 
+def test_if_branch_mutating_its_own_condition_field(spark):
+    """A then-branch that rewrites the field its own condition tested must
+    NOT re-trigger a later elif/else: branch choice is decided on the
+    ORIGINAL row (config_mapper.js:32-58 first-match-wins)."""
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)],
+                               "x string, n int")
+    out = build(df, [
+        {"op": "if",
+         "cond": {"op": "==", "left": {"field": "x"}, "right": "a"},
+         # rewrites x -> 'b': the elif (x == 'b') must not also fire
+         "then": [{"op": "add_fields", "fields": {"x": "b"}},
+                  {"op": "add_fields", "fields": {"hit": "first"}}],
+         "elif": [{"cond": {"op": "==", "left": {"field": "x"},
+                            "right": "b"},
+                   "then": [{"op": "add_fields", "fields": {"hit": "second"}}]}],
+         "else": [{"op": "add_fields", "fields": {"hit": "none"}}]},
+    ])
+    got = {r.n: (r.x, r.hit) for r in out.collect()}
+    assert got == {1: ("b", "first"), 2: ("b", "second"), 3: ("c", "none")}
+    assert "_branch_idx" not in str(out.columns)
+
+
+def test_nested_if_blocks(spark):
+    """Nested if inside a then-branch: hidden index columns are per-block
+    unique, so nesting cannot clobber the outer block's gating."""
+    df = spark.createDataFrame([("a", 1), ("a", 20), ("b", 5)],
+                               "x string, n int")
+    out = build(df, [
+        {"op": "if",
+         "cond": {"op": "==", "left": {"field": "x"}, "right": "a"},
+         "then": [
+             {"op": "if",
+              "cond": {"op": ">", "left": {"field": "n"}, "right": 10},
+              "then": [{"op": "add_fields", "fields": {"cls": "a-big"}}],
+              "else": [{"op": "add_fields", "fields": {"cls": "a-small"}}]}],
+         "else": [{"op": "add_fields", "fields": {"cls": "other"}}]},
+    ])
+    got = {r.n: r.cls for r in out.collect()}
+    assert got == {1: "a-small", 20: "a-big", 5: "other"}
+
+
 def test_only_type_gating_in_spec(spark):
     df = spark.createDataFrame(
         [("nginx", "a b"), ("apache", "c d")], "type string, message string")

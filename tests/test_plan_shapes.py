@@ -92,3 +92,20 @@ def test_dedup_exact_is_single_shuffle(spark):
     docs = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id int, text string")
     plan = _plan(dedup_exact(docs))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_global_topk_is_take_ordered_not_global_window(spark, tmp_path):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject (per-partition
+    top-k + small merge), never a single-partition global Window sort."""
+    path = str(tmp_path / "orders")
+    spark.range(0, 10_000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") * 7 % 1000).cast("double").alias("o_totalprice")
+    ).write.parquet(path)
+    o = spark.read.parquet(path)
+    top = (o.select("o_orderkey", "o_totalprice")
+           .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20))
+    plan = _plan(top)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan

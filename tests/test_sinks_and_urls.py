@@ -60,11 +60,17 @@ def test_ndjson_serialize_formats_timestamp(spark):
 def test_parse_url_roundtrip():
     spec = parse_url("filter://grok://?pattern=%{INT:n}+%{WORD:w}&field=raw")
     assert spec["role"] == "filter" and spec["op"] == "grok"
-    assert spec["pattern"] == "%{INT:n} %{WORD:w}"   # '+' unescaped
+    # literal '+' preserved (url_parser.js:18 %2B-protects before parsing);
+    # spaces are written %20
+    assert spec["pattern"] == "%{INT:n}+%{WORD:w}"
     assert spec["field"] == "raw"
+
+    spec1b = parse_url("filter://grok://?pattern=%{INT:n}%20%{WORD:w}")
+    assert spec1b["pattern"] == "%{INT:n} %{WORD:w}"
 
     spec2 = parse_url("filter://regex://?regex=^(\\w+)&fields=a,b&max_size=5")
     assert spec2["fields"] == ["a", "b"] and spec2["max_size"] == 5
+    assert spec2["regex"] == "^(\\w+)"   # '+' not corrupted to a space
 
     spec3 = parse_url("input://file:///var/log/app.log?type=app")
     assert spec3["target"] == "/var/log/app.log" and spec3["type"] == "app"
@@ -75,7 +81,7 @@ def test_parse_url_roundtrip():
 
 def test_parse_urls_builds_runnable_chain(spark):
     urls = [
-        "filter://grok://?pattern=%{WORD:lvl}+%{INT:code}&field=message",
+        "filter://grok://?pattern=%{WORD:lvl}%20%{INT:code}&field=message",
         "filter://mutate_replace://?field=lvl&from_regex=err&to=ERR",
     ]
     stages = parse_urls(urls)["filter"]
