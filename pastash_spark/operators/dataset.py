@@ -168,13 +168,23 @@ def minhash_signature(col: str = "text", k: int = 3,
 
 def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                       col: str = "text", k: int = 3, n_hashes: int = 64,
-                      bands: int = 16) -> DataFrame:
+                      bands: int = 16,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-slice of the
     minhash signature -> same bucket -> pair.  rows_per_band = n_hashes/bands.
 
     Scale shape: explode to (band_id, band_hash) — the shuffle key is the
     band bucket, uniformly hash-distributed; within-bucket self-join only.
     Output is DISTINCT candidate pairs; verify with ngram_jaccard_pairs.
+
+    ``max_bucket`` is the hot-bucket guard: a bucket holding m docs emits
+    m^2/2 candidate pairs, so one degenerate bucket (boilerplate / empty
+    docs) goes quadratic.  Buckets above the cap are DROPPED before the
+    self-join (count-join filter); pairs inside them are lost, which is why
+    dedup_minhash collapses exact duplicates FIRST — after that prepass a
+    hot bucket can only come from a pathological near-identical mass, and
+    the cap bounds worst-case work instead of letting one key stall the
+    whole stage.
     """
     rows_per_band = n_hashes // bands
     sig = df.select(F.col(id_col).alias("id"),
@@ -191,6 +201,12 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                                      lambda x: x.cast("string")))).alias("bucket"))
         )).alias("bb")) \
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        counts = (banded.groupBy("band", "bucket")
+                  .agg(F.count("*").alias("_bucket_n")))
+        banded = (banded.join(counts.filter(F.col("_bucket_n") <= max_bucket),
+                              ["band", "bucket"])
+                  .drop("_bucket_n"))
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
                    (F.col("a.bucket") == F.col("b.bucket")) &
@@ -201,17 +217,37 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
 
 def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
                   k: int = 3, threshold: float = 0.7, n_hashes: int = 64,
-                  bands: int = 16) -> DataFrame:
+                  bands: int = 16, exact_first: bool = True,
+                  max_bucket: int | None = None) -> DataFrame:
     """LSH candidates verified by exact jaccard — rows that survive dedup.
     Survivor = smaller id of each confirmed pair wins; every id that appears
-    as a bigger-id duplicate is dropped."""
-    cand = minhash_lsh_pairs(df, id_col=id_col, col=col, k=k,
-                             n_hashes=n_hashes, bands=bands)
-    cand_docs = (df.join(cand.select(F.col("id_a").alias(id_col)).union(
+    as a bigger-id duplicate is dropped.
+
+    ``exact_first`` collapses text-identical docs BEFORE banding (one
+    fingerprint groupBy): identical docs share every band bucket, so a mass
+    of m copies would otherwise emit m^2/2 candidate pairs into LSH — the
+    degenerate hot bucket.  Semantics are unchanged: an exact duplicate has
+    the same jaccard to every other doc as its surviving representative, so
+    the pair set over representatives plus the exact-loser set reproduces
+    the all-pairs result."""
+    if exact_first:
+        reps = dedup_exact_keep(df, col=col, id_col=id_col)
+        exact_losers = (df.join(reps.select(id_col), id_col, "left_anti")
+                        .select(id_col))
+        work = reps.select(id_col, col)
+    else:
+        exact_losers = None
+        work = df
+    cand = minhash_lsh_pairs(work, id_col=id_col, col=col, k=k,
+                             n_hashes=n_hashes, bands=bands,
+                             max_bucket=max_bucket)
+    cand_docs = (work.join(cand.select(F.col("id_a").alias(id_col)).union(
         cand.select(F.col("id_b").alias(id_col))).distinct(), id_col))
     verified = ngram_jaccard_pairs(cand_docs, id_col=id_col, col=col, k=k,
                                    threshold=threshold)
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if exact_losers is not None:
+        losers = losers.union(exact_losers).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
@@ -243,28 +279,81 @@ def simhash64(col: str = "text") -> Column:
     return sh(F.col(col))
 
 
+def simhash60_portable(col: str = "text") -> Column:
+    """60-bit simhash whose word hash is ENGINE-PORTABLE (first 15 hex chars
+    of md5 as an int), so a DuckDB SQL oracle recomputes the identical
+    simhash and the driver gate verifies the hamming-pair output at full
+    fidelity — not just row counts.  One Arrow pass per batch; per-batch
+    word-hash memo amortizes the md5 cost across repeated vocabulary."""
+    import hashlib
+
+    bit_idx = np.arange(60, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").split(" ")
+            hs = np.empty(len(ws), dtype=np.int64)
+            for j, w in enumerate(ws):
+                h = cache.get(w)
+                if h is None:
+                    h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                    cache[w] = h
+                hs[j] = h
+            bits = (hs[:, None] >> bit_idx) & 1
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = int(np.where(votes > 0, np.int64(1) << bit_idx, 0).sum())
+        return pd.Series(out)
+
+    return sh(F.col(col))
+
+
 def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
-                       col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, blocked on 16-bit chunks
-    (pigeonhole: distance<=3 over 4 chunks -> at least one chunk equal), so
-    the join is an equi-join on (chunk_no, chunk), never a cross join."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(col).alias("sh"))
-    chunk_structs = [
-        F.struct(F.lit(i).alias("chunk_no"),
-                 F.shiftright(F.col("sh"), i * 16)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-        for i in range(4)
-    ]
-    chunks = sh.select("id", "sh", F.explode(F.array(*chunk_structs)).alias("c")) \
-        .select("id", "sh", "c.chunk_no", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (a.join(b, (F.col("a.chunk_no") == F.col("b.chunk_no")) &
-                    (F.col("a.chunk") == F.col("b.chunk")) &
+                       col: str = "text", max_hamming: int = 3,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on CHUNK PAIRS:
+    the 60-bit portable simhash splits into 6 chunks of 10 bits; hamming<=3
+    flips at most 3 chunks, so at least 3 chunks are equal and hence at
+    least one of the C(6,2)=15 chunk PAIRS is equal on both sides — the
+    join is an equi-join on (pair_no, 20-bit value).
+
+    vs. blocking on single chunks: 15 x 2^20 ≈ 1.6e7 distinct block keys
+    instead of 4 x 2^16 ≈ 2.6e5 — at 10^10 docs the expected block
+    population drops ~60x, which is the difference between a balanced
+    equi-join and a quadratic within-block blowup.  ``max_bucket`` caps the
+    residual hot blocks (identical-doc mass): oversized blocks are dropped
+    before the self-join; run exact dedup first so that mass never arrives.
+    """
+    chunk_bits, n_chunks = 10, 6
+    mask = (1 << chunk_bits) - 1
+    sh = df.select(F.col(id_col).alias("id"), simhash60_portable(col).alias("sh"))
+
+    def chunk(i: int):
+        return F.shiftright(F.col("sh"), i * chunk_bits).bitwiseAND(F.lit(mask))
+
+    pair_structs = []
+    for pno, (i, j) in enumerate(
+            (i, j) for i in range(n_chunks) for j in range(i + 1, n_chunks)):
+        pair_structs.append(F.struct(
+            F.lit(pno).alias("blk"),
+            (F.shiftleft(chunk(i), chunk_bits) + chunk(j)).alias("val")))
+    blocks = sh.select("id", "sh", F.explode(F.array(*pair_structs)).alias("c")) \
+        .select("id", "sh", "c.blk", "c.val")
+    if max_bucket is not None:
+        counts = blocks.groupBy("blk", "val").agg(F.count("*").alias("_blk_n"))
+        blocks = (blocks.join(counts.filter(F.col("_blk_n") <= max_bucket),
+                              ["blk", "val"])
+                  .drop("_blk_n"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
+                    (F.col("a.val") == F.col("b.val")) &
                     (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                      F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
              .distinct())
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (pairs.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

@@ -52,34 +52,84 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
             .select("query_id", "neighbor_id", "rank", F.col("_sim").alias("sim")))
 
 
+def portable_hash60_py(s: str) -> int:
+    """60-bit deterministic hash both engines compute bit-for-bit: first 15
+    hex chars of md5 as an integer.  Python: int(md5.hexdigest()[:15], 16) —
+    Spark SQL: CAST(conv(substring(md5(x),1,15),16,10) AS BIGINT) — DuckDB:
+    CAST('0x'||substring(md5(x),1,15) AS BIGINT).  This is what lets the
+    LSH queries ship FULL-fidelity SQL oracles instead of rows-only checks."""
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def plane_component_py(p: int, j: int, *, seed: int = 42) -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    portable_hash60('seed,p,j') scaled.  Derived on the DRIVER and embedded
+    as plan literals (planes are row-independent constants — deriving them
+    inside a HOF lambda would re-hash per element per row, interpreted).
+    The DuckDB oracle re-derives the identical planes in SQL from md5."""
+    h = portable_hash60_py(f"{seed},{p},{j}")
+    return (h % 1_000_003) / 1_000_003.0 - 0.5
+
+
 def random_projection_buckets(df: DataFrame, *, vec_col: str = "embedding",
                               n_planes: int = 8, seed: int = 42,
-                              dim: int | None = None) -> DataFrame:
+                              dim: int | None = None,
+                              bucket_col: str = "bucket") -> DataFrame:
     """Sign-random-projection LSH bucket id (SimHash for vectors): bucket =
-    bits of sign(v . r_i) for n deterministic pseudo-random hyperplanes.
-
-    Hyperplanes derive from splitmix-style integer mixing of (seed, plane,
-    component) entirely in column expressions, so executors need no
-    broadcast state and the bucketing is reproducible across runs/engines.
-    """
+    bits of sign(v . r_p) for n deterministic pseudo-random hyperplanes,
+    baked into the plan as literal arrays (no broadcast state, no per-row
+    hashing; reproducible across runs AND engines)."""
     if dim is None:
         raise ValueError("pass dim= (embedding dimensionality)")
-
-    def plane_component(p: int, j) -> "F.Column":
-        # deterministic pseudo-random in [-0.5, 0.5): hash(seed, p, j)
-        h = F.xxhash64(F.lit(seed), F.lit(p), j)
-        return (F.pmod(h, F.lit(1_000_003)).cast("double") / 1_000_003.0) - 0.5
 
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        dot = F.aggregate(
-            F.transform(v, lambda x, j: x * plane_component(p, j)),
-            F.lit(0.0), lambda acc, x: acc + x)
+        plane = F.array(*[F.lit(plane_component_py(p, j, seed=seed))
+                          for j in range(dim)])
+        dot = _dot(v, plane)
         bucket = bucket.bitwiseOR(
             F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p))
             .otherwise(F.lit(0).cast("long")))
-    return df.withColumn("bucket", bucket)
+    return df.withColumn(bucket_col, bucket)
+
+
+def exact_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding", threshold: float = 0.5,
+                       n_blocks: int = 16) -> DataFrame:
+    """EXACT all-pairs cosine threshold join, distributed as a block-grid
+    theta-join (the 1-bucket theta-join shape from Okcan & Riedewald,
+    SIGMOD'11): rows hash into B blocks; each unordered block pair (i,j)
+    becomes an equi-join key, so the O(n^2) pair evaluations spread evenly
+    over B(B+1)/2 independent tasks instead of a BroadcastNestedLoopJoin
+    funneling the whole corpus through one in-memory build side.
+
+    Shuffle volume is ~n*(B+1)/2 per side — linear in n for fixed B; pick
+    B ~ sqrt(desired tasks).  Exactness: every unordered row pair lands in
+    exactly one grid cell (diagonal cells deduped by id order).
+
+    For a *near-dup* threshold (>=0.9) prefer lsh_candidate_pairs + this as
+    the verifier on candidates; the exact grid is for low thresholds where
+    guaranteed-recall blocking does not exist.
+    """
+    B = n_blocks
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"),
+                     F.pmod(F.xxhash64(F.col(id_col)), F.lit(B))
+                     .cast("int").alias("bk"))
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(i, B)], "i int, j int")
+    left = base.join(F.broadcast(grid), F.col("bk") == F.col("i")) \
+        .select("i", "j", F.col("id").alias("id_l"), F.col("v").alias("v_l"))
+    right = base.join(F.broadcast(grid), F.col("bk") == F.col("j")) \
+        .select("i", "j", F.col("id").alias("id_r"), F.col("v").alias("v_r"))
+    pairs = (left.join(right, ["i", "j"])
+             .filter((F.col("i") < F.col("j")) | (F.col("id_l") < F.col("id_r")))
+             .filter(cosine(F.col("v_l"), F.col("v_r")) > threshold))
+    return pairs.select(F.least("id_l", "id_r").alias("id_a"),
+                        F.greatest("id_l", "id_r").alias("id_b"))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, *,

@@ -516,14 +516,68 @@ def q_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_with_dups(spark, sf_dir), k=3, threshold=0.5)
 
 
-@_q("minhash_lsh_dedup")  # no SQL oracle: xxhash64 not available in DuckDB
+# Shared shingle/jaccard CTE body (k=3 word shingles, distinct)
+_JACCARD_CTES = """
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         array_to_string((string_split(text, ' '))[i:i+2], ' ') AS sh
+  FROM docs,
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2)
+"""
+
+
+@_q("minhash_lsh_dedup", f"""
+WITH docs AS ({_DUP_ORACLE}),
+{_JACCARD_CTES},
+losers AS (
+  SELECT DISTINCT id_b FROM common
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5)
+SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT id_b FROM losers)
+""")
 def q_minhash(spark, sf_dir):
+    """LSH-banded minhash dedup verified by exact jaccard.  The oracle is
+    the ALL-PAIRS exact-jaccard dedup — equality asserts the LSH candidate
+    recall is 1.0 at this SF (64 hashes / 16 bands on the injected
+    near-dups), i.e. the approximation loses nothing the exact path finds."""
     out = D.dedup_minhash(_with_dups(spark, sf_dir), threshold=0.5)
     return out.select("doc_id")
 
 
-@_q("simhash_near_pairs")  # no SQL oracle: xxhash64-based
+@_q("simhash_near_pairs", f"""
+WITH docs AS ({_DUP_ORACLE}),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs),
+wh AS (SELECT doc_id,
+              CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h
+       FROM w),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+  GROUP BY doc_id, j),
+sim AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+                 AS sh
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""")
 def q_simhash(spark, sf_dir):
+    """Simhash hamming<=3 pairs, chunk-pair blocked.  The word hash is the
+    portable 60-bit md5 prefix, so the oracle recomputes the IDENTICAL
+    simhash in SQL and compares the full pair set — verifying both the
+    hash math and that pigeonhole blocking loses no pair."""
     return D.simhash_near_pairs(_with_dups(spark, sf_dir), max_hamming=3)
 
 
@@ -614,8 +668,42 @@ def q_ann_brute(spark, sf_dir):
             .select("query_id", "neighbor_id", "rank"))
 
 
-@_q("ann_lsh_topk")  # approximate — no oracle; rows-only check
+def _ann_plane_sql(p: int, dim: int = 64, seed: int = 42) -> str:
+    """The SAME deterministic hyperplane similarity.py bakes into the Spark
+    plan, as a DuckDB list literal (repr round-trips doubles exactly)."""
+    from pastash_spark.operators.similarity import plane_component_py
+    return "[" + ", ".join(
+        repr(plane_component_py(p, j, seed=seed)) for j in range(dim)) + "]"
+
+
+_ANN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_ann_plane_sql(p)}) > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(6))
+
+
+@_q("ann_lsh_topk", f"""
+WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+cb AS (SELECT vec_id, v, {_ANN_BUCKET_SQL} AS bucket FROM corpus),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 5),
+scored AS (
+  SELECT qb.query_id, cb.vec_id AS neighbor_id,
+         list_cosine_similarity(cb.v, qb.qv) AS sim
+  FROM cb JOIN qb USING (bucket)
+  WHERE cb.vec_id <> qb.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""")
 def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k.  Full-fidelity oracle: the bucketing
+    hyperplanes are deterministic md5-derived constants, so the DuckDB SQL
+    re-derives the IDENTICAL buckets and replays the same bucket-equi-join
+    top-k — the approximation itself is verified, not just row shape."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return (S.lsh_topk(emb, queries, k=5, n_planes=6, dim=64)
@@ -830,17 +918,13 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) > 0.4
 """)
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs.  At this SF the oracle is the full
-    pairwise join; the Spark path uses the same semantics (the LSH-bucketed
-    variant is ann_lsh_topk's path)."""
-    from pastash_spark.operators.similarity import cosine
+    """Embedding-cosine pairs above a LOW threshold (0.4) — exact by
+    definition, so no guaranteed-recall blocking exists; the scale shape is
+    the block-grid theta-join (similarity.exact_cosine_pairs): O(n^2) pair
+    evaluations spread evenly over B(B+1)/2 equi-join tasks, never a
+    BroadcastNestedLoopJoin/cartesian plan."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .filter(cosine(F.col("_ea").cast("array<double>"),
-                           F.col("_eb").cast("array<double>")) > 0.4)
-            .select("id_a", "id_b"))
+    return S.exact_cosine_pairs(emb, threshold=0.4, n_blocks=8)
 
 
 @_q("statsd_sink", """

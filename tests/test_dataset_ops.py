@@ -76,6 +76,109 @@ def test_portable_tokenize(spark):
     assert toks == [(97 * 100 + 2) % 50257, (99 * 100 + 3) % 50257]
 
 
+def test_dedup_minhash_survives_identical_mass(spark):
+    """Adversarial hot-bucket fixture: 10^4 byte-identical docs would emit
+    ~5e7 within-bucket candidate pairs without guards.  exact-first collapses
+    them to one representative before banding, so the run stays linear."""
+    import time
+    n = 10_000
+    ident = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("the same boilerplate text repeated verbatim in every doc")
+        .alias("text"))
+    extra = spark.createDataFrame(
+        [(n + 1, "a unique document about spark physical plans"),
+         (n + 2, "the same boilerplate text repeated verbatim in every doc x")],
+        "doc_id int, text string")
+    docs = ident.unionByName(extra)
+    t0 = time.time()
+    survivors = sorted(r.doc_id for r in
+                       D.dedup_minhash(docs, threshold=0.5).collect())
+    wall = time.time() - t0
+    # doc 0 survives its 9,999 exact copies; the near-dup of it (n+2) is
+    # verified >= 0.5 jaccard and dropped; the unrelated doc survives
+    assert survivors == [0, n + 1]
+    assert wall < 60, f"identical-mass dedup took {wall:.0f}s (quadratic?)"
+
+
+def test_minhash_hot_bucket_cap_drops_oversized(spark):
+    n = 500
+    ident = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("all docs identical so every band bucket holds all of them")
+        .alias("text"))
+    capped = D.minhash_lsh_pairs(ident, max_bucket=100)
+    assert capped.count() == 0          # oversized buckets dropped entirely
+    pair_docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string")
+    assert D.minhash_lsh_pairs(pair_docs, max_bucket=100).count() == 1
+
+
+def test_simhash_hot_bucket_cap(spark):
+    import time
+    n = 5_000
+    ident = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("identical boilerplate for every single document here")
+        .alias("text"))
+    small = spark.createDataFrame(
+        [(n + 1, "one distinctive doc with its own words entirely"),
+         (n + 2, "one distinctive doc with its own words entirely")],
+        "doc_id int, text string")
+    t0 = time.time()
+    pairs = D.simhash_near_pairs(ident.unionByName(small), max_hamming=3,
+                                 max_bucket=100).collect()
+    wall = time.time() - t0
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(n + 1, n + 2)}      # small block survives, hot one dropped
+    assert wall < 60, f"capped simhash took {wall:.0f}s"
+
+
+def test_simhash_portable_matches_duckdb(spark):
+    """The portable 60-bit simhash must equal DuckDB's SQL recomputation
+    bit-for-bit — this is what backs the driver-gate oracle."""
+    import duckdb
+    texts = ["the quick brown fox", "pack my box with five dozen jugs",
+             "a b a b a", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = {r.doc_id: r.sh for r in
+           df.select("doc_id", D.simhash60_portable("text").alias("sh")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts)) +
+                ") v(doc_id, text)")
+    want = dict(con.execute("""
+        WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM t),
+        wh AS (SELECT doc_id, CAST(('0x'||substring(md5(w),1,15)) AS BIGINT) AS h FROM w),
+        bits AS (SELECT doc_id, j,
+                        SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                 FROM wh CROSS JOIN (SELECT unnest(generate_series(0,59)) AS j) js
+                 GROUP BY doc_id, j)
+        SELECT doc_id, CAST(SUM(CASE WHEN vote > 0
+                             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+        FROM bits GROUP BY doc_id""").fetchall())
+    assert got == want
+
+
+def test_exact_cosine_pairs_equals_brute_force(spark):
+    import numpy as np
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 8).astype("float64")
+    base[10] = base[3] + 0.05 * rng.randn(8)       # planted near-dup
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           S.exact_cosine_pairs(emb, threshold=0.6, n_blocks=5).collect()}
+    norms = np.linalg.norm(base, axis=1)
+    sims = (base @ base.T) / np.outer(norms, norms)
+    want = {(i, j) for i in range(60) for j in range(i + 1, 60)
+            if sims[i, j] > 0.6}
+    assert got == want and (3, 10) in got
+
+
 def test_ann_brute_force(spark):
     rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
             (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])]

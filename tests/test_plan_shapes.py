@@ -94,6 +94,20 @@ def test_dedup_exact_is_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_exact_cosine_pairs_is_grid_equi_join_not_cartesian(spark):
+    """The all-pairs cosine join must distribute as a block-grid equi-join —
+    never BroadcastNestedLoopJoin/CartesianProduct, which funnel the whole
+    corpus through one task's memory."""
+    from pastash_spark.operators.similarity import exact_cosine_pairs
+    emb = spark.range(100).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 17).cast("double")
+                  for i in range(4)]).alias("embedding"))
+    plan = _plan(exact_cosine_pairs(emb, threshold=0.5, n_blocks=4))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_global_topk_is_take_ordered_not_global_window(spark, tmp_path):
     """orderBy().limit(k) must compile to TakeOrderedAndProject (per-partition
     top-k + small merge), never a single-partition global Window sort."""
