@@ -64,6 +64,9 @@ CORE_PATTERNS: dict[str, str] = {
     "TIME": r"%{HOUR}:%{MINUTE}:%{SECOND}",
     "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
     "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE": r"%{DATE_US}|%{DATE_EU}",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "TZ": r"(?:[APMCE][SD]T|UTC)",
     "ISO8601_TIMEZONE": r"Z|[+-]%{HOUR}(?::?%{MINUTE})",
     "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?(?:%{ISO8601_TIMEZONE})?",
     "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
@@ -103,7 +106,9 @@ class GrokCompiler:
     """
 
     def __init__(self, extra_patterns: dict[str, str] | None = None):
+        from pastash_spark.functions.grok_patterns import EXTENDED_PATTERNS
         self.patterns = dict(CORE_PATTERNS)
+        self.patterns.update(EXTENDED_PATTERNS)
         if extra_patterns:
             self.patterns.update(extra_patterns)
 
@@ -111,6 +116,10 @@ class GrokCompiler:
         """-> (python_regex, captured_field_names in group order)."""
         if _depth > _MAX_DEPTH:
             raise ValueError("grok pattern recursion too deep (cycle?)")
+        # Oniguruma inline named groups `(?<name>...)` (the second grok
+        # capture syntax, used throughout the public pattern files) ->
+        # Python `(?P<name>...)`.  Lookbehinds `(?<=` / `(?<!` untouched.
+        pattern = re.sub(r"\(\?<([A-Za-z]\w*)>", r"(?P<\1>", pattern)
         fields: list[str] = []
 
         def sub(m: re.Match) -> str:

@@ -38,8 +38,9 @@ def _add_tag(df: DataFrame, cond: Column, tag: str) -> DataFrame:
 
 def regex_extract(
     df: DataFrame,
-    regex: "CompiledGrok | str",
+    regex: "CompiledGrok | str | None" = None,
     *,
+    builtin: str | None = None,
     field: str = DEFAULT_FIELD,
     fields: Sequence[str] | None = None,
     numerical_fields: Sequence[str] = (),
@@ -60,7 +61,24 @@ def regex_extract(
 
     ``regex`` is either a plain pattern with positional groups + ``fields``
     naming them, or a :class:`CompiledGrok` whose named groups define fields.
+    ``builtin`` resolves a shipped pattern-file name instead
+    (``http_combined``, ``syslog``, ... — patterns_loader.js:14-46): the
+    spec supplies regex/fields/numerical_fields/date_format, and a captured
+    field named ``timestamp``/``@timestamp`` is parsed into ``@timestamp``
+    (regex_helper.js:19-28).  Explicit kwargs override spec entries.
     """
+    if builtin is not None:
+        from pastash_spark.functions.regex_patterns import lookup_regex_pattern
+        spec = lookup_regex_pattern(builtin)
+        regex = regex if isinstance(regex, CompiledGrok) else spec["regex"]
+        fields = list(fields) if fields else list(spec["fields"])
+        numerical_fields = (list(numerical_fields) or
+                            list(spec.get("numerical_fields", [])))
+        date_format = date_format or spec.get("date_format")
+        if date_field is None and date_format:
+            date_field = next((f for f in fields
+                               if f in ("@timestamp", "timestamp")), None)
+
     if isinstance(regex, CompiledGrok):
         cg = regex
         out_fields = list(cg.fields)
@@ -105,7 +123,7 @@ def regex_extract(
             for batch in s:
                 ext = batch.str.extract(py_re)  # one pass, all groups
                 if isinstance(regex, CompiledGrok):
-                    out = ext[out_fields]
+                    out = ext[out_fields].copy()
                 else:
                     out = ext
                     out.columns = out_fields
@@ -125,9 +143,13 @@ def regex_extract(
             df = df.withColumn(f, coerce_numeric_str(F.col(f)))
 
     if date_field and date_format:
+        # try_: an unparseable capture leaves @timestamp NULL instead of
+        # failing the job (the reference's moment parse is lenient too,
+        # regex_helper.js:19-28)
         df = df.withColumn(
             "@timestamp",
-            F.to_timestamp(F.col(date_field), moment_to_java(date_format)),
+            F.try_to_timestamp(F.col(date_field),
+                               F.lit(moment_to_java(date_format))),
         )
     if tag_on_failure:
         df = _add_tag(df, ~matched, tag_on_failure)

@@ -52,7 +52,12 @@ def parse_url(url: str) -> dict[str, Any]:
     spec: dict[str, Any] = {"role": role,
                             "op": _ALIASES.get(name, name)}
     if target:
-        spec["target"] = urllib.parse.unquote(target)
+        if role == "filter" and _ALIASES.get(name, name) == "regex":
+            # regex://<name> resolves a builtin pattern file
+            # (filter_regex.js host_field='builtin_regex')
+            spec["builtin"] = urllib.parse.unquote(target)
+        else:
+            spec["target"] = urllib.parse.unquote(target)
     # url_parser.js:18: protect literal '+' BEFORE parsing — parse_qsl would
     # otherwise decode it to a space, corrupting regex params like '\w+'.
     qs = qs.replace("+", "%2B")

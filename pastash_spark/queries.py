@@ -811,6 +811,62 @@ def q_pipeline_arrow(spark, sf_dir):
                  F.sum("syslog_facility").alias("fac_sum")))
 
 
+def _docs_haproxy(spark, sf_dir):
+    """Render a deterministic haproxy httplog line per document — same
+    analytic-oracle trick as _docs_with_header: the oracle recomputes every
+    parsed field from doc_id/text directly, so a parse bug cannot cancel."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    n_words = F.size(F.split("text", " "))
+    raw = F.concat(
+        F.lit("Sep 14 02:01:37 lb haproxy["),
+        (1000 + d % 9000).cast("string"),
+        F.lit("]: 10.0."), (d % 256).cast("string"),
+        F.lit("."), (d % 200).cast("string"),
+        F.lit(":"), (10000 + d % 50000).cast("string"),
+        F.lit(" [14/Sep/2014:02:01:37."),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("] fe-"), (d % 4).cast("string"),
+        F.lit(" be-"), (d % 6).cast("string"),
+        F.lit("/srv"), (d % 3).cast("string"),
+        F.lit(" 0/0/1/2/3 "), (200 + (d % 4) * 100).cast("string"),
+        F.lit(" "), n_words.cast("string"),
+        F.lit(' - - ---- 10/9/8/7/0 0/0 "GET /d/'),
+        d.cast("string"), F.lit('/x HTTP/1.1"'))
+    return docs.select("doc_id", raw.alias("raw"))
+
+
+@_q("pipeline_haproxy_parse", """
+SELECT doc_id,
+       'haproxy' AS program,
+       '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST(doc_id % 200 AS VARCHAR) AS client_ip,
+       CAST(10000 + doc_id % 50000 AS BIGINT) AS client_port,
+       CAST(200 + (doc_id % 4) * 100 AS BIGINT) AS http_status_code,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS bytes_read,
+       'be-' || CAST(doc_id % 6 AS VARCHAR) AS backend_name,
+       '/d/' || CAST(doc_id AS VARCHAR) || '/x' AS http_request,
+       0 AS grok_failures
+FROM documents
+""")
+def q_pipeline_haproxy(spark, sf_dir):
+    """%{HAPROXYHTTP} end-to-end over a rendered haproxy line (the pattern
+    the reference's own grok golden test exercises,
+    test_218_filter_grok.js:38-84) — 38 captures through the single-pass
+    Arrow extractor, verified analytically."""
+    df = _docs_haproxy(spark, sf_dir)
+    out = P.grok(df, "%{HAPROXYHTTP}", field="raw",
+                 numerical_fields=["client_port", "http_status_code",
+                                   "bytes_read"])
+    return out.select(
+        "doc_id", "program", "client_ip",
+        F.col("client_port").cast("long").alias("client_port"),
+        F.col("http_status_code").cast("long").alias("http_status_code"),
+        F.col("bytes_read").cast("long").alias("bytes_read"),
+        "backend_name", "http_request",
+        F.size("tags").alias("grok_failures"))
+
+
 # =========================================================================
 # esl correlation, condition DSL, gating, top-k, embedding near-dup
 # =========================================================================

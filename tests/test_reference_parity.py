@@ -64,6 +64,158 @@ class TestFilterGrok218:
                      extra_patterns={"MYID": r"[a-z]{2}\d{2}"}).first()
         assert out.the_id == "ab12"
 
+    def test_haproxy_golden_record(self, spark):
+        """The reference's %{HAPROXYHTTP} golden case
+        (test_218_filter_grok.js:38-84), field-for-field.  Numeric captures
+        are declared (typed columns; the reference coerces dynamically —
+        coerce.py documents the divergence)."""
+        line = ('Sep 14 02:01:37 lb haproxy[11223]: 127.0.0.1:12345 '
+                '[14/Sep/2014:02:01:37.452] public nginx/server1 0/0/0/5/5 '
+                '200 490 - - ---- 1269/1269/0/1/0 0/0 '
+                '"GET /my/path HTTP/1.1"')
+        num = ["pid", "client_port", "haproxy_monthday", "haproxy_year",
+               "haproxy_hour", "haproxy_minute", "haproxy_second",
+               "haproxy_milliseconds", "time_request", "time_queue",
+               "time_backend_connect", "time_backend_response",
+               "time_duration", "http_status_code", "bytes_read", "actconn",
+               "feconn", "beconn", "srvconn", "retries", "srv_queue",
+               "backend_queue", "http_version"]
+        r = P.grok(msgs(spark, line), "%{HAPROXYHTTP}",
+                   numerical_fields=num).first()
+        want_str = {
+            "syslog_timestamp": "Sep 14 02:01:37", "syslog_server": "lb",
+            "program": "haproxy", "client_ip": "127.0.0.1",
+            "accept_date": "14/Sep/2014:02:01:37.452",
+            "haproxy_month": "Sep", "haproxy_time": "02:01:37",
+            "frontend_name": "public", "backend_name": "nginx",
+            "server_name": "server1", "captured_request_cookie": "-",
+            "captured_response_cookie": "-", "termination_state": "----",
+            "http_verb": "GET", "http_request": "/my/path",
+        }
+        for k, v in want_str.items():
+            assert getattr(r, k) == v, k
+        want_num = {
+            "pid": 11223, "client_port": 12345, "haproxy_monthday": 14,
+            "haproxy_year": 2014, "haproxy_hour": 2, "haproxy_minute": 1,
+            "haproxy_second": 37, "haproxy_milliseconds": 452,
+            "time_request": 0, "time_queue": 0, "time_backend_connect": 0,
+            "time_backend_response": 5, "time_duration": 5,
+            "http_status_code": 200, "bytes_read": 490, "actconn": 1269,
+            "feconn": 1269, "beconn": 0, "srvconn": 1, "retries": 0,
+            "srv_queue": 0, "backend_queue": 0, "http_version": 1.1,
+        }
+        for k, v in want_num.items():
+            assert getattr(r, k) == pytest.approx(v), k
+        assert r.tags == []          # no _grokparsefailure
+
+    def test_haproxy_tcp_and_badreq(self, spark):
+        tcp = ('Sep 14 02:01:37 lb haproxy[123]: 10.0.0.1:555 '
+               '[14/Sep/2014:02:01:37.452] fe be/srv 0/1/2 312 -- '
+               '5/4/3/2/0 0/0')
+        r = P.grok(msgs(spark, tcp), "%{HAPROXYTCP}").first()
+        assert (r.frontend_name, r.backend_name, r.server_name) == \
+            ("fe", "be", "srv")
+        assert r.time_duration == "2" and r.bytes_read == "312"
+        badreq = ('Sep 14 02:01:37 lb haproxy[123]: 10.0.0.1:555 '
+                  '[14/Sep/2014:02:01:37.452] fe be/srv 0/0/0/5/5 400 187 '
+                  '- - ---- 1/1/0/1/0 0/0 "<BADREQ>"')
+        r2 = P.grok(msgs(spark, badreq), "%{HAPROXYHTTP}").first()
+        assert r2.tags == [] and r2.http_verb is None
+
+    def test_linux_syslog_line(self, spark):
+        r = P.grok(msgs(spark, "Oct 11 22:14:15 host1 sshd[4123]: "
+                               "Failed password for root"),
+                   "%{SYSLOGLINE}").first()
+        assert r.logsource == "host1" and r.program == "sshd"
+        assert r.pid == "4123"
+        assert r.syslog_message == "Failed password for root"
+
+    def test_syslog5424_line(self, spark):
+        r = P.grok(msgs(spark,
+                        '<165>1 2024-08-13T22:14:15.003Z mymachine.example.com '
+                        'evntslog 1370 ID47 - BOMAn application event'),
+                   "%{SYSLOG5424LINE}").first()
+        assert r.syslog5424_pri == "165" and r.syslog5424_ver == "1"
+        assert r.syslog5424_host == "mymachine.example.com"
+        assert r.syslog5424_app == "evntslog"
+        assert r.syslog5424_proc == "1370"
+        assert r.syslog5424_msg == "BOMAn application event"
+
+    def test_java_stacktrace_part(self, spark):
+        r = P.grok(msgs(spark,
+                        "    at org.apache.spark.sql.Dataset.collect"
+                        "(Dataset.scala:3321)"),
+                   "%{JAVASTACKTRACEPART}").first()
+        assert r.__getattr__("class") == "org.apache.spark.sql.Dataset"
+        assert r.method == "collect"
+        assert r.file == "Dataset.scala" and r.line == "3321"
+        r2 = P.grok(msgs(spark, "\tat com.foo.Bar.<init>(Native Method)"),
+                    "%{JAVASTACKTRACEPART}").first()
+        assert r2.method == "<init>" and r2.file == "Native Method"
+        assert r2.line is None
+
+    def test_ruby_logger_line(self, spark):
+        r = P.grok(msgs(spark,
+                        "W, [2024-08-13T10:11:12.123456 #4123]  WARN -- "
+                        "myapp: something odd"),
+                   "%{RUBY_LOGGER}").first()
+        assert r.pid == "4123" and r.loglevel == "WARN"
+        assert r.progname == "myapp" and r.log_message == "something odd"
+
+    def test_inline_oniguruma_named_group(self, spark):
+        # grok's second capture syntax: (?<name>...) inline
+        r = P.grok(msgs(spark, "took 137ms"),
+                   r"took (?<duration>[0-9]+)ms").first()
+        assert r.duration == "137"
+
+
+class TestBuiltinRegexPatterns:
+    """/root/reference/lib/patterns/{http_combined,syslog,...} via
+    patterns_loader.js:14-46 name resolution."""
+
+    APACHE = ('203.0.113.9 - frank [05/Feb/2024:10:11:12 +0000] '
+              '"GET /index.html HTTP/1.1" 200 5316 '
+              '"http://ref.example/" "Mozilla/5.0"')
+
+    def test_http_combined_by_name(self, spark):
+        r = P.regex_extract(msgs(spark, self.APACHE),
+                            builtin="http_combined").first()
+        assert r.ip == "203.0.113.9" and r.user == "frank"
+        assert r.request == "GET /index.html HTTP/1.1"
+        assert r.status == 200.0 and r.bytes_sent == 5316.0
+        assert r.referer == "http://ref.example/"
+        assert r.user_agent == "Mozilla/5.0"
+
+    def test_http_vhost_combined_by_name(self, spark):
+        r = P.regex_extract(msgs(spark, "shop.example " + self.APACHE),
+                            builtin="http_vhost_combined").first()
+        assert r.vhost == "shop.example" and r.ip == "203.0.113.9"
+
+    def test_syslog_by_name(self, spark):
+        r = P.regex_extract(
+            msgs(spark, "<13>Oct 11 22:14:15 host1 cron[888]: job done"),
+            builtin="syslog").first()
+        assert r.syslog_priority == "13" and r.host == "host1"
+        assert r.syslog_program == "cron" and r.syslog_pid == 888.0
+        assert r.message == "job done"
+
+    def test_syslog_no_prio_by_name(self, spark):
+        r = P.regex_extract(
+            msgs(spark, "Oct 11 22:14:15 host1 cron: job done"),
+            builtin="syslog_no_prio").first()
+        assert r.syslog_program == "cron" and r.message == "job done"
+        assert r.syslog_pid is None          # empty capture -> absent
+
+    def test_unknown_builtin_raises(self, spark):
+        with pytest.raises(KeyError, match="unknown builtin regex"):
+            P.regex_extract(msgs(spark, "x"), builtin="nope")
+
+    def test_url_front_end_resolves_builtin(self, spark):
+        from pastash_spark.plans.urls import parse_urls
+        stages = parse_urls(["filter://regex://syslog"])["filter"]
+        out = build(msgs(spark, "<13>Oct 11 22:14:15 h cron[1]: ok"), stages)
+        assert out.first().syslog_program == "cron"
+
 
 class TestMessageFiltering206:
     """/root/reference/test/test_206_message_filtering.js — only_type gates."""
