@@ -1,0 +1,226 @@
+"""Logstash .conf grammar front-end — the shapes the reference's own config
+tests exercise (/root/reference/test/test_104_logstash_parser.js and
+test_421_logstash/{base,simple_if,if_regex,else_else_if,grep,regex,
+fields_tags_*,upper}), run end-to-end from literal .conf text."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pastash_spark.plans.logstash_conf import (
+    build_conf, conf_to_specs, parse_conf)
+
+
+def msgs(spark, *lines):
+    return spark.createDataFrame([(l,) for l in lines], "message string")
+
+
+class TestParser104:
+    """test_104_logstash_parser.js shapes."""
+
+    def test_base_input_file(self):
+        tree = parse_conf("input {\n  file {\n    path => input.txt\n  }\n}\n")
+        assert tree == {"input": [{"file": {"path": "input.txt"}}]}
+
+    def test_comments_numbers_bools_quotes(self):
+        tree = parse_conf("""
+        # a comment
+        filter {
+          thing {
+            a => 12          # int
+            b => 3.5         # float
+            c => true
+            d => "with \\" quote"
+            e => 'single'
+            f => /a(.*)b/
+          }
+        }
+        """)
+        p = tree["filter"][0]["thing"]
+        assert p == {"a": 12, "b": 3.5, "c": True, "d": 'with " quote',
+                     "e": "single", "f": "a(.*)b"}
+
+    def test_array_and_hash_values(self):
+        tree = parse_conf("""
+        filter { grok {
+          match => '%{IP}'
+          add_tags => ['a', 'b']
+          add_fields => { a => b, c => d }
+        } }
+        """)
+        p = tree["filter"][0]["grok"]
+        assert p["add_tags"] == ["a", "b"]
+        assert p["add_fields"] == {"a": "b", "c": "d"}
+
+    def test_multiline_hash_without_commas(self):
+        tree = parse_conf("""
+        filter { grok {
+          match => '%{IP}'
+          add_tags => toto
+          add_fields => {
+            a => b
+            c => d
+          }
+        } }
+        """)
+        p = tree["filter"][0]["grok"]
+        assert p["add_tags"] == "toto"
+        assert p["add_fields"] == {"a": "b", "c": "d"}
+
+    def test_if_else_if_else_tree(self):
+        tree = parse_conf("""
+        filter {
+          if [message] =~ 'cd' { compute_field { field => toto value => tata } }
+          else if [message] =~ 'ef' { compute_field { field => toto value => titi } }
+          else { compute_field { field => toto value => tutu } }
+        }
+        """)
+        node = tree["filter"][0]["__if__"]
+        assert len(node["ifs"]) == 2 and "else" in node
+        assert node["ifs"][0]["cond"] == {"op": "=~",
+                                          "left": {"field": "message"},
+                                          "right": "cd"}
+
+    def test_condition_connectives_and_parens(self):
+        tree = parse_conf("""
+        output {
+          if ([a] == "x" or [b] > 3) and ! [c] miss {
+            file { path => o.txt }
+          }
+        }
+        """)
+        cond = tree["output"][0]["__if__"]["ifs"][0]["cond"]
+        assert cond["op"] == "and"
+        assert cond["left"]["op"] == "or"
+        assert cond["right"] == {"op": "!", "operand": {"op": "miss",
+                                 "operand": {"field": "c"}}}
+
+    def test_in_and_not_in(self):
+        tree = parse_conf("""
+        filter {
+          if [t] in [a, b] { noop {} }
+          if [t] not in [c] { noop {} }
+        }
+        """)
+        c1 = tree["filter"][0]["__if__"]["ifs"][0]["cond"]
+        c2 = tree["filter"][1]["__if__"]["ifs"][0]["cond"]
+        assert c1 == {"op": "in", "left": {"field": "t"}, "right": ["a", "b"]}
+        assert c2 == {"op": "not in", "left": {"field": "t"}, "right": ["c"]}
+
+
+class TestEndToEnd421:
+    """test_421_logstash/* fixtures run from literal .conf text."""
+
+    def test_else_else_if(self, spark):
+        conf = """
+        filter {
+          if [message] =~ 'cd' { compute_field { field => toto value => tata } }
+          else if [message] =~ 'ef' { compute_field { field => toto value => titi } }
+          else { compute_field { field => toto value => tutu } }
+        }
+        output { file { path => output.txt serializer => json_logstash } }
+        """
+        df = msgs(spark, "has cd here", "has ef here", "neither")
+        out, outputs = build_conf(df, conf)
+        got = {r.message: r.toto for r in out.collect()}
+        assert got == {"has cd here": "tata", "has ef here": "titi",
+                       "neither": "tutu"}
+        assert outputs[0][0] == {"op": "file", "path": "output.txt",
+                                 "serializer": "json_logstash"}
+
+    def test_grep_invert(self, spark):
+        conf = """
+        filter { grep { regex => /abcd/ invert => true } }
+        output { file { path => output.txt serializer => json_logstash } }
+        """
+        df = msgs(spark, "abcd here", "keep me")
+        out, _ = build_conf(df, conf)
+        assert [r.message for r in out.collect()] == ["keep me"]
+
+    def test_regex_positional_and_builtin(self, spark):
+        conf = """
+        filter {
+          regex {
+            regex => /a(.*)b(.*)c/
+            fields => [toto, tata]
+            numerical_fields => [tata]
+          }
+        }
+        """
+        df = msgs(spark, "aXb12c")
+        out, _ = build_conf(df, conf)
+        r = out.first()
+        assert r.toto == "X" and r.tata == 12.0
+
+        conf2 = "filter { regex { builtin_regex => syslog_no_prio } }\n"
+        df2 = msgs(spark, "Oct 11 22:14:15 host1 cron[9]: done")
+        r2 = build_conf(df2, conf2)[0].first()
+        assert r2.syslog_program == "cron" and r2.message == "done"
+
+    def test_fields_tags(self, spark):
+        conf = """
+        filter {
+          grok {
+            match => '%{IP:ip}'
+            add_tags => ['a', 'b']
+            add_fields => { src => "ip=#{ip}" }
+          }
+        }
+        """
+        df = msgs(spark, "from 10.1.2.3")
+        r = build_conf(df, conf)[0].first()
+        assert r.ip == "10.1.2.3"
+        assert set(r.tags) == {"a", "b"}
+        assert r.src == "ip=10.1.2.3"
+
+    def test_simple_if_conditional_output(self, spark):
+        conf = """
+        output {
+          if [message] != "abcd" {
+            file { path => output.txt serializer => json_logstash }
+          }
+        }
+        """
+        df = msgs(spark, "abcd", "other")
+        _, outputs = build_conf(df, conf)
+        (spec, view), = outputs
+        assert spec["path"] == "output.txt"
+        assert [r.message for r in view.collect()] == ["other"]
+
+    def test_if_regex_output(self, spark):
+        conf = """
+        output {
+          if [message] =~ ab {
+            file { path => output.txt serializer => json_logstash }
+          }
+        }
+        """
+        df = msgs(spark, "xaby", "nope")
+        _, outputs = build_conf(df, conf)
+        assert [r.message for r in outputs[0][1].collect()] == ["xaby"]
+
+    def test_upper_numeric_compare(self, spark):
+        conf = """
+        filter {
+          if [message] > 30 { compute_field { field => toto value => tata } }
+        }
+        """
+        df = msgs(spark, "35", "12", "abc")
+        out, _ = build_conf(df, conf)
+        got = {r.message: r.toto for r in out.collect()}
+        assert got == {"35": "tata", "12": None, "abc": None}
+
+    def test_conditional_outputs_partition_rows(self, spark):
+        """if/else-if/else over outputs = mutually-exclusive routed sinks."""
+        conf = """
+        output {
+          if [message] =~ err { file { path => errors } }
+          else if [message] =~ warn { file { path => warns } }
+          else { file { path => bulk } }
+        }
+        """
+        df = msgs(spark, "err 1", "warn 1", "ok 1", "err 2")
+        _, outputs = build_conf(df, conf)
+        counts = {spec["path"]: view.count() for spec, view in outputs}
+        assert counts == {"errors": 2, "warns": 1, "bulk": 1}
