@@ -219,6 +219,93 @@ def type_dispatch(df: DataFrame, type_col: str,
     return df.withColumn(target, expr)
 
 
+def app_janus_correlate(df: DataFrame, *, ts: str = "ts",
+                        order: str = "event_id") -> DataFrame:
+    """Janus WebRTC event correlation (filter_app_janus.js:33-121):
+    session_id <-> transport_id <-> opaque_id pairing propagation with
+    type-32 media ip/port enrichment.
+
+    Reference semantics, re-expressed relationally:
+      * type 64 events are dropped outright (:94-95)
+      * type 1 (session create/destroy) publishes both pairing directions:
+        session -> transport and transport -> session (:64-79 GunDB puts)
+      * type 2 publishes session -> opaque_id (:83-88)
+      * type 128 (transport events, no native session_id) backfills
+        session_id via the transport pairing and publishes the transport's
+        ip/port (:96-108)
+      * type 32 (media) rows enrich with ip/port resolved through
+        session -> transport -> ip/port, defaulting '0.0.0.0'/0 (:110-119)
+
+    The GunDB key-value store becomes three PAIRING DIMENSIONS derived by
+    aggregation (latest write per key wins — deterministic (ts, order)
+    tie-break); each is tiny relative to the event stream, so every
+    enrichment is a broadcast-able equi-join against a one-pass dim build.
+    A batch replay reads the FINAL pairing value (the processing-time
+    analogue of the reference's live GunDB reads).
+
+    Expects columns: ``type`` (int), ``session_id``, ``transport_id``,
+    ``opaque_id``, ``ip``, ``port``, plus ts/order for recency.
+    Adds/fills: session_id (type-128 backfill), opaque_id (propagated per
+    session), media_ip/media_port (type 32 only).
+    """
+    def latest(src: DataFrame, key: str, *vals: str) -> DataFrame:
+        w = (Window.partitionBy(key)
+             .orderBy(F.col(ts).desc(), F.col(order).desc()))
+        return (src.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(key, *vals))
+
+    live = df.filter(F.col("type") != 64)
+    t1 = live.filter((F.col("type") == 1) & F.col("session_id").isNotNull()
+                     & F.col("transport_id").isNotNull())
+    sess2tr = latest(t1, "session_id", "transport_id").select(
+        F.col("session_id").alias("_m_sess"),
+        F.col("transport_id").alias("_mtr"))
+    tr2sess = latest(t1, "transport_id", "session_id").select(
+        F.col("transport_id").alias("_bf_tr"),
+        F.col("session_id").alias("_bf_session"))
+    sess2op = latest(
+        live.filter((F.col("type") == 2) & F.col("session_id").isNotNull()
+                    & F.col("opaque_id").isNotNull()),
+        "session_id", "opaque_id").select(
+        F.col("session_id").alias("_op_sess"),
+        F.col("opaque_id").alias("_op"))
+    tr2ip = latest(
+        live.filter((F.col("type") == 128) & F.col("transport_id").isNotNull()
+                    & F.col("ip").isNotNull()),
+        "transport_id", "ip", "port").select(
+        F.col("transport_id").alias("_ip_tr"),
+        F.col("ip").alias("_tip"), F.col("port").alias("_tport"))
+
+    out = (live
+           # type-128 session backfill through the transport pairing
+           .join(F.broadcast(tr2sess),
+                 (F.col("type") == 128) &
+                 (F.col("transport_id") == F.col("_bf_tr")), "left")
+           .withColumn("session_id", F.coalesce("session_id", "_bf_session"))
+           .drop("_bf_tr", "_bf_session")
+           # opaque propagation per (possibly backfilled) session
+           .join(F.broadcast(sess2op),
+                 F.col("session_id") == F.col("_op_sess"), "left")
+           .withColumn("opaque_id", F.coalesce("opaque_id", "_op"))
+           .drop("_op_sess", "_op")
+           # media enrichment: session -> transport -> ip/port
+           .join(F.broadcast(sess2tr),
+                 (F.col("type") == 32) &
+                 (F.col("session_id") == F.col("_m_sess")), "left")
+           .join(F.broadcast(tr2ip),
+                 F.col("_mtr") == F.col("_ip_tr"), "left")
+           .withColumn("media_ip",
+                       F.when(F.col("type") == 32,
+                              F.coalesce("_tip", F.lit("0.0.0.0"))))
+           .withColumn("media_port",
+                       F.when(F.col("type") == 32,
+                              F.coalesce(F.col("_tport").cast("int"),
+                                         F.lit(0))))
+           .drop("_m_sess", "_mtr", "_ip_tr", "_tip", "_tport"))
+    return out
+
+
 def app_sonus_reassemble(df: DataFrame, *, source: str = "path",
                          order: str = "line_no", field: str = "message",
                          corr_regex: str = r"Call-ID: (\S+)") -> DataFrame:

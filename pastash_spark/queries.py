@@ -867,6 +867,88 @@ def q_pipeline_haproxy(spark, sf_dir):
         F.size("tags").alias("grok_failures"))
 
 
+def _janus_events(spark, sf_dir):
+    """Deterministic Janus-shaped event stream derived from `events`:
+    type cycle 1/2/128/32/64, session per user, transports shared mod 50,
+    opaque ids mod 30, transport ip/port from user arithmetic — every
+    pairing is analytically recomputable by the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    t5 = F.col("event_id") % 5
+    typ = (F.when(t5 == 0, 1).when(t5 == 1, 2).when(t5 == 2, 128)
+           .when(t5 == 3, 32).otherwise(64))
+    u = F.col("user_id")
+    return ev.select(
+        "event_id", "ts", typ.alias("type"),
+        F.when(typ != 128, F.concat(F.lit("s"), u.cast("string")))
+        .alias("session_id"),
+        F.when(typ.isin(1, 128),
+               F.concat(F.lit("t"), (u % 50).cast("string")))
+        .alias("transport_id"),
+        F.when(typ == 2, F.concat(F.lit("o"), (u % 30).cast("string")))
+        .alias("opaque_id"),
+        F.when(typ == 128,
+               F.concat(F.lit("10.0.0."), (u % 250).cast("string")))
+        .alias("ip"),
+        F.when(typ == 128, (5000 + u % 1000).cast("int")).alias("port"))
+
+
+@_q("app_janus_correlate", """
+WITH src AS (
+  SELECT event_id, ts, user_id,
+         CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
+              WHEN 2 THEN 128 WHEN 3 THEN 32 ELSE 64 END AS type
+  FROM events),
+j AS (
+  SELECT event_id, ts, type,
+         CASE WHEN type <> 128
+              THEN 's' || CAST(user_id AS VARCHAR) END AS session_id,
+         CASE WHEN type IN (1, 128)
+              THEN 't' || CAST(user_id % 50 AS VARCHAR) END AS transport_id,
+         CASE WHEN type = 2
+              THEN 'o' || CAST(user_id % 30 AS VARCHAR) END AS opaque_id,
+         CASE WHEN type = 128
+              THEN '10.0.0.' || CAST(user_id % 250 AS VARCHAR) END AS ip,
+         CASE WHEN type = 128
+              THEN CAST(5000 + user_id % 1000 AS INT) END AS port
+  FROM src WHERE type <> 64),
+st AS (SELECT session_id, transport_id FROM (
+   SELECT session_id, transport_id, row_number() OVER (
+       PARTITION BY session_id ORDER BY ts DESC, event_id DESC) AS rn
+   FROM j WHERE type = 1) WHERE rn = 1),
+trs AS (SELECT transport_id, session_id AS bf_session FROM (
+   SELECT transport_id, session_id, row_number() OVER (
+       PARTITION BY transport_id ORDER BY ts DESC, event_id DESC) AS rn
+   FROM j WHERE type = 1) WHERE rn = 1),
+so AS (SELECT session_id, opaque_id AS op FROM (
+   SELECT session_id, opaque_id, row_number() OVER (
+       PARTITION BY session_id ORDER BY ts DESC, event_id DESC) AS rn
+   FROM j WHERE type = 2) WHERE rn = 1),
+tip AS (SELECT transport_id, ip AS tip_ip, port AS tip_port FROM (
+   SELECT transport_id, ip, port, row_number() OVER (
+       PARTITION BY transport_id ORDER BY ts DESC, event_id DESC) AS rn
+   FROM j WHERE type = 128) WHERE rn = 1)
+SELECT j.event_id, j.type,
+       COALESCE(j.session_id, trs.bf_session) AS session_id,
+       COALESCE(j.opaque_id, so.op) AS opaque_id,
+       CASE WHEN j.type = 32 THEN COALESCE(tip.tip_ip, '0.0.0.0') END
+         AS media_ip,
+       CASE WHEN j.type = 32 THEN COALESCE(tip.tip_port, 0) END
+         AS media_port
+FROM j
+LEFT JOIN trs ON j.type = 128 AND j.transport_id = trs.transport_id
+LEFT JOIN so ON COALESCE(j.session_id, trs.bf_session) = so.session_id
+LEFT JOIN st ON j.type = 32 AND j.session_id = st.session_id
+LEFT JOIN tip ON st.transport_id = tip.transport_id
+""")
+def q_app_janus(spark, sf_dir):
+    """session<->transport<->opaque pairing propagation + type-32 media
+    ip/port enrichment (filter_app_janus.js:33-121) as broadcast dim joins;
+    oracle replays the identical pairing resolution in SQL."""
+    out = C.app_janus_correlate(_janus_events(spark, sf_dir))
+    return out.select("event_id", "type", "session_id", "opaque_id",
+                      "media_ip", "media_port")
+
+
 # =========================================================================
 # esl correlation, condition DSL, gating, top-k, embedding near-dup
 # =========================================================================

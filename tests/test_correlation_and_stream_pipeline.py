@@ -45,6 +45,32 @@ def test_type_dispatch(spark):
     assert got == {1: "session:a", 2: "handle:b", 64: "C", 99: "unknown"}
 
 
+def test_app_janus_correlate_pairing_propagation(spark):
+    """filter_app_janus.js:33-121 semantics on a hand-checked fixture:
+    type-64 drop, type-128 session backfill via transport pairing, opaque
+    propagation across the session, type-32 media ip/port enrichment with
+    0.0.0.0/0 defaults."""
+    rows = [
+        (1, 1.0, 1, "s1", "t1", None, None, None),    # pair s1<->t1
+        (2, 2.0, 2, "s1", None, "o1", None, None),    # pair s1->o1
+        (3, 3.0, 128, None, "t1", None, "9.9.9.9", 5555),  # transport+ip
+        (4, 4.0, 32, "s1", None, None, None, None),   # media -> enrich
+        (5, 5.0, 64, "s1", None, None, None, None),   # dropped
+        (6, 6.0, 32, "s2", None, None, None, None),   # no pairing -> defaults
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts double, type int, session_id string, "
+              "transport_id string, opaque_id string, ip string, port int")
+    out = {r.event_id: r for r in
+           C.app_janus_correlate(df).orderBy("event_id").collect()}
+    assert sorted(out) == [1, 2, 3, 4, 6]            # type 64 dropped
+    assert out[3].session_id == "s1"                 # 128 backfilled via t1
+    assert all(out[i].opaque_id == "o1" for i in (1, 2, 3, 4))
+    assert (out[4].media_ip, out[4].media_port) == ("9.9.9.9", 5555)
+    assert (out[6].media_ip, out[6].media_port) == ("0.0.0.0", 0)
+    assert out[1].media_ip is None                   # only type 32 enriched
+
+
 def test_streaming_flagship_counts_match_batch(spark, tmp_path):
     """Streaming and batch flagship must agree on per-sink counts — the
     routed-row equality invariant, streaming edition."""
