@@ -52,6 +52,8 @@ HEADLINE = [
     "multiline", "asof_lru_lookup", "pricing_summary", "segment_order_stats",
     "dedup_exact", "minhash_lsh_dedup", "simhash_near_pairs",
     "ann_brute_force_topk", "token_stats", "quality_features",
+    "pipeline_haproxy_parse", "app_janus_correlate", "topk_orders",
+    "revenue_by_nation", "embedding_near_dup_lsh",
 ]
 
 

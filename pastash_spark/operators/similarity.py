@@ -132,6 +132,43 @@ def exact_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
                         F.greatest("id_l", "id_r").alias("id_b"))
 
 
+def lsh_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding", threshold: float = 0.9,
+                       n_tables: int = 3, n_planes: int = 8,
+                       dim: int | None = None, seed0: int = 42) -> DataFrame:
+    """HIGH-threshold embedding near-dup pairs — the 100 TB path: candidates
+    from T independent random-projection tables (equi-join within each
+    bucket; a pair qualifies if ANY table buckets it together), then exact
+    cosine verification on candidates only.
+
+    vs exact_cosine_pairs: the grid join evaluates all O(n^2) pairs — right
+    for LOW thresholds where no blocking can guarantee recall; at near-dup
+    thresholds (>=0.9, SemDeDup-style) sign-LSH collapses the candidate set
+    to ~buckets' within-bucket pairs, linear-ish in n.  Hyperplanes are the
+    deterministic md5-derived constants, so an external SQL oracle can
+    replicate the exact candidate condition — the approximation itself is
+    driver-verifiable.
+    """
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    cand_ids = None
+    for t in range(n_tables):
+        b = random_projection_buckets(base, vec_col="v", n_planes=n_planes,
+                                      seed=seed0 + t, dim=dim,
+                                      bucket_col="bk").select("id", "bk")
+        a_, b_ = b.alias("a"), b.alias("b")
+        p = (a_.join(b_, (F.col("a.bk") == F.col("b.bk")) &
+                     (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+        cand_ids = p if cand_ids is None else cand_ids.unionByName(p)
+    cand_ids = cand_ids.distinct()
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("_va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"))
+    return (cand_ids.join(va, "id_a").join(vb, "id_b")
+            .filter(cosine(F.col("_va"), F.col("_vb")) > threshold)
+            .select("id_a", "id_b"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 10, n_planes: int = 8, dim: int | None = None) -> DataFrame:

@@ -1065,6 +1065,52 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.exact_cosine_pairs(emb, threshold=0.4, n_blocks=8)
 
 
+def _lsh_bucket_sql(seed: int, n_planes: int = 8, dim: int = 64) -> str:
+    from pastash_spark.operators.similarity import plane_component_py
+    terms = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(
+            repr(plane_component_py(p, j, seed=seed)) for j in range(dim)) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
+                     f"THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@_q("embedding_near_dup_lsh", f"""
+WITH emb2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9 + 0.01) AS v
+  FROM embeddings WHERE vec_id % 10 = 0),
+b AS (SELECT vec_id, v,
+             {_lsh_bucket_sql(42)} AS bk0,
+             {_lsh_bucket_sql(43)} AS bk1,
+             {_lsh_bucket_sql(44)} AS bk2
+      FROM emb2)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b
+FROM b a JOIN b c
+  ON a.vec_id < c.vec_id
+ AND (a.bk0 = c.bk0 OR a.bk1 = c.bk1 OR a.bk2 = c.bk2)
+WHERE list_cosine_similarity(a.v, c.v) > 0.9
+""")
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """High-threshold (0.9) embedding near-dup via multi-table sign-LSH +
+    exact cosine verify, over deterministically injected near-dup vectors
+    (clone scaled 0.9x + 0.01 shift, cosine ~0.999).  The oracle replays
+    the identical bucket condition (md5-derived planes as SQL literals), so
+    the LSH candidate mechanics — not just the verified output — are
+    driver-checked."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9 + 0.01).alias("embedding"))
+    both = emb.unionByName(dup)
+    return S.lsh_near_dup_pairs(both, threshold=0.9, n_tables=3,
+                                n_planes=8, dim=64)
+
+
 @_q("statsd_sink", """
 SELECT 'ev.' || event_type AS metric_key, COUNT(*) AS counter,
        ROUND(SUM(value), 4) AS timer_sum, ROUND(AVG(value), 6) AS timer_avg,
