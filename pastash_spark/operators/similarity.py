@@ -113,6 +113,9 @@ def exact_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
     the verifier on candidates; the exact grid is for low thresholds where
     guaranteed-recall blocking does not exist.
     """
+    import numpy as np
+    import pandas as pd
+
     B = n_blocks
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("id"),
@@ -122,14 +125,37 @@ def exact_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
     grid = spark.createDataFrame(
         [(i, j) for i in range(B) for j in range(i, B)], "i int, j int")
     left = base.join(F.broadcast(grid), F.col("bk") == F.col("i")) \
-        .select("i", "j", F.col("id").alias("id_l"), F.col("v").alias("v_l"))
+        .select("i", "j", "id", "v")
+    # distinct column names on the right side keep the self-cogroup
+    # unambiguous (both lineages share `base`)
     right = base.join(F.broadcast(grid), F.col("bk") == F.col("j")) \
-        .select("i", "j", F.col("id").alias("id_r"), F.col("v").alias("v_r"))
-    pairs = (left.join(right, ["i", "j"])
-             .filter((F.col("i") < F.col("j")) | (F.col("id_l") < F.col("id_r")))
-             .filter(cosine(F.col("v_l"), F.col("v_r")) > threshold))
-    return pairs.select(F.least("id_l", "id_r").alias("id_a"),
-                        F.greatest("id_l", "id_r").alias("id_b"))
+        .select(F.col("i").alias("ri"), F.col("j").alias("rj"),
+                F.col("id").alias("rid"), F.col("v").alias("rv"))
+
+    # each grid cell scores as ONE normalized matrix product (numpy/BLAS) —
+    # a Catalyst HOF cosine would re-walk both arrays interpreted per pair
+    def score_cell(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        li = lpdf["id"].to_numpy()
+        ri = rpdf["rid"].to_numpy()
+        lm = np.stack(lpdf["v"].to_numpy())
+        rm = np.stack(rpdf["rv"].to_numpy())
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        if key[0] == key[1]:                 # diagonal cell: order the pair
+            mask = (sims > threshold) & (li[:, None] < ri[None, :])
+        else:
+            mask = sims > threshold
+        a, b = np.nonzero(mask)
+        ia, ib = li[a], ri[b]
+        return pd.DataFrame({"id_a": np.minimum(ia, ib),
+                             "id_b": np.maximum(ia, ib)})
+
+    return (left.groupBy("i", "j")
+            .cogroup(right.groupBy("ri", "rj"))
+            .applyInPandas(score_cell, "id_a long, id_b long"))
 
 
 def lsh_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
