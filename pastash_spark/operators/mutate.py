@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,17 +30,35 @@ def gsub(df: DataFrame, field: str, from_regex: str, to: str) -> DataFrame:
 def mutate_hash(df: DataFrame, field: str, *, algo: str = "sha256") -> DataFrame:
     """Replace field with its hash (filter_mutate_hash.js:24-29).
 
-    The reference uses murmur3-128; we default to sha256 (JVM-native, stays in
-    codegen).  ``algo='xxhash64'`` gives the fast 64-bit path.  Bit-for-bit
-    murmur3 parity would need a pandas UDF + mmh3 (not available here) — the
-    semantic contract (stable one-way digest of the string value) is what
-    downstream dedup/routing relies on.
+    The reference uses murmur3-128; ``algo='murmur3_128'`` gives bit parity
+    with the canonical MurmurHash3 x64_128 (Arrow pandas UDF with per-batch
+    memo — murmur is not a JVM builtin).  The default stays sha256
+    (JVM-native, whole-stage codegen) because on the hot path a codegen hash
+    beats any Python round-trip; ``algo='xxhash64'`` is the fast 64-bit
+    JVM path.  The semantic contract downstream dedup/routing relies on is
+    a stable one-way digest of the string value.
     """
     c = F.col(field).cast("string")
     if algo == "md5":
         h = F.md5(c)
     elif algo == "xxhash64":
         h = F.xxhash64(c).cast("string")
+    elif algo == "murmur3_128":
+        from pastash_spark.functions.murmur3 import murmur3_128_hex
+
+        @F.pandas_udf("string")
+        def mm3(s: pd.Series) -> pd.Series:
+            memo: dict[str, str] = {}
+            def one(v):
+                if v is None:
+                    return None
+                got = memo.get(v)
+                if got is None:
+                    got = memo[v] = murmur3_128_hex(v)
+                return got
+            return s.map(one)
+
+        h = mm3(c)
     else:
         h = F.sha2(c, 256)
     return df.withColumn(field, h)
@@ -113,13 +133,73 @@ def eval_expr(df: DataFrame, target: str, expression: str) -> DataFrame:
 tinymath = eval_expr
 
 
+def _mustache_escape_col(c: Column) -> Column:
+    """mustache.js HTML entity escaping as chained codegen replaces."""
+    from pastash_spark.functions.mustache import _ESCAPES
+    c = F.regexp_replace(c, "&", "&amp;")
+    for ch, ent in _ESCAPES.items():
+        if ch == "&":
+            continue
+        c = F.regexp_replace(c, "\\" + ch if ch in r"\^$.|?*+()[]{}" else ch,
+                             ent)
+    return c
+
+
 def mustache(df: DataFrame, target: str, template: str) -> DataFrame:
-    """Simple-variable Mustache rendering (filter_mustache.js:25-36):
-    ``{{x}}`` -> field substitution via the interpolation compiler.  Sections /
-    partials are out of scope (the reference recipes use plain variables)."""
-    import re as _re
-    converted = _re.sub(r"\{\{\s*([\w.]+)\s*\}\}", r"#{\1}", template)
-    return df.withColumn(target, compile_template(converted))
+    """Full Mustache rendering (filter_mustache.js:25-36 renders with the
+    npm mustache lib): variables with mustache.js HTML escaping,
+    ``{{{raw}}}``/``{{&raw}}``, ``{{#section}}``/``{{^inverted}}`` over
+    lists/structs/truthiness, dotted paths, comments.
+
+    Simple-variable templates over non-float columns compile to a native
+    escaped-concat (pure codegen).  Sections — or float variables, whose
+    JS string form differs from Spark's — render in ONE Arrow pass over a
+    to_json struct of just the referenced columns (column-pruned)."""
+    from pastash_spark.functions import mustache as MU
+
+    toks = MU.parse_template(template)
+    roots = sorted(r for r in MU.referenced_roots(toks) if r in df.columns)
+
+    def _dtype_ok(name: str) -> bool:
+        from pyspark.sql import types as T
+        parts = name.split(".")
+        if parts[0] not in df.columns:
+            return True  # missing -> empty string, type-independent
+        dt = df.schema[parts[0]].dataType
+        for p in parts[1:]:
+            if isinstance(dt, T.StructType) and p in dt.fieldNames():
+                dt = dt[p].dataType
+            else:
+                return True
+        return not isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType))
+
+    if MU.only_simple_vars(toks) and all(
+            _dtype_ok(t[1]) for t in toks if t[0] == "var"):
+        parts: list[Column] = []
+        for t in toks:
+            if t[0] == "text":
+                parts.append(F.lit(t[1]))
+            else:
+                name_parts = t[1].split(".")
+                if name_parts[0] not in df.columns:
+                    parts.append(F.lit(""))
+                    continue
+                c = F.col(name_parts[0])
+                for p in name_parts[1:]:
+                    c = c[p]
+                c = F.coalesce(c.cast("string"), F.lit(""))
+                parts.append(_mustache_escape_col(c) if t[2] else c)
+        return df.withColumn(target, F.concat(*parts) if parts else F.lit(""))
+
+    import json
+
+    @F.pandas_udf("string")
+    def render_udf(payload: pd.Series) -> pd.Series:
+        return payload.map(lambda s: MU.render_row(toks, json.loads(s)))
+
+    payload = F.to_json(F.struct(*[F.col(r) for r in roots])) if roots \
+        else F.lit("{}")
+    return df.withColumn(target, render_udf(payload))
 
 
 # --- plugin gating (base_component.js:165-247) -------------------------------

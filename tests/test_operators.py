@@ -155,6 +155,20 @@ def test_mutate_hash_deterministic(spark):
     assert vals[0] == vals[1] and len(vals[0]) == 64
 
 
+def test_mutate_hash_murmur3_128_bit_parity(spark):
+    """Canonical MurmurHash3 x64_128 vectors (public smhasher/mmh3 values)
+    — the reference's murmur.hash128().hex() contract
+    (filter_mutate_hash.js:24-29)."""
+    from pastash_spark.functions.murmur3 import murmur3_128_hex
+    assert murmur3_128_hex("") == "0" * 32
+    assert murmur3_128_hex("hello") == "029bbd41b3a7d8cb191dae486a901e5b"
+    assert murmur3_128_hex("The quick brown fox jumps over the lazy dog") \
+        == "6c1b07bc7bbc4be347939ac4a93c437a"
+    df = spark.createDataFrame([("hello",), (None,)], "f string")
+    vals = [r.f for r in M.mutate_hash(df, "f", algo="murmur3_128").collect()]
+    assert vals == ["029bbd41b3a7d8cb191dae486a901e5b", None]
+
+
 def test_eval_expr_and_compute_date(spark):
     df = spark.createDataFrame([(21,)], "x int")
     assert M.eval_expr(df, "y", "x * 2 + 1").first().y == 43
@@ -166,6 +180,33 @@ def test_eval_expr_and_compute_date(spark):
 def test_mustache(spark):
     df = spark.createDataFrame([("n1", 5)], "name string, n int")
     assert M.mustache(df, "out", "hi {{name}}:{{n}}").first().out == "hi n1:5"
+
+
+def test_mustache_escaping_and_raw(spark):
+    df = spark.createDataFrame([("<b>&'x'</b>",)], "v string")
+    esc = M.mustache(df, "o", "{{v}}").first().o
+    assert esc == "&lt;b&gt;&amp;&#39;x&#39;&lt;&#x2F;b&gt;"
+    raw = M.mustache(df, "o", "{{{v}}}").first().o
+    assert raw == "<b>&'x'</b>"
+    amp = M.mustache(df, "o", "{{&v}}").first().o
+    assert amp == "<b>&'x'</b>"
+
+
+def test_mustache_sections(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"], {"city": "x"}, True, "u1"),
+         ([], None, False, "u2")],
+        "items array<string>, addr struct<city:string>, ok boolean, "
+        "user string")
+    tpl = ("{{user}}:{{#items}}[{{.}}]{{/items}}{{^items}}none{{/items}}"
+           "{{#addr}}@{{city}}{{/addr}}{{#ok}}!{{/ok}}{{!ignored}}")
+    got = {r.user: r.o for r in M.mustache(df, "o", tpl).collect()}
+    assert got == {"u1": "u1:[a][b]@x!", "u2": "u2:none"}
+
+
+def test_mustache_dotted_and_missing(spark):
+    df = spark.createDataFrame([(("deep",),)], "a struct<b string>")
+    assert M.mustache(df, "o", "<{{a.b}}><{{nope}}>").first().o == "<deep><>"
 
 
 def test_apply_when_gating(spark):
