@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import re
 
-_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?\}")
+# field charset includes '-' (junos RT_FLOW uses hyphenated aliases);
+# hyphens sanitize to '_' in the emitted group names
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@-]+))?\}")
 
 # Core pattern library — hand-written primitive set.
 CORE_PATTERNS: dict[str, str] = {

@@ -162,6 +162,58 @@ class TestFilterGrok218:
         assert r.pid == "4123" and r.loglevel == "WARN"
         assert r.progname == "myapp" and r.log_message == "something odd"
 
+    def test_cisco_asa_teardown(self, spark):
+        r = P.grok(msgs(spark,
+                        "Teardown TCP connection 517934 for outside:"
+                        "192.0.2.9/443 to inside:10.1.2.3/52041 "
+                        "duration 0:01:02 bytes 4312 TCP FINs"),
+                   "%{CISCOFW302013_302014_302015_302016}").first()
+        assert r.action == "Teardown" and r.protocol == "TCP"
+        assert r.src_ip == "192.0.2.9" and r.dst_port == "52041"
+        assert r.duration == "0:01:02" and r.bytes == "4312"
+
+    def test_junos_rt_flow_close(self, spark):
+        line = ("RT_FLOW_SESSION_CLOSE: session closed TCP FIN: "
+                "10.0.0.1/51000->192.0.2.7/443 junos-https "
+                "172.16.0.1/51000->192.0.2.7/443 src-nat None 6 "
+                "allow-web trust untrust 4087 21(1832) 18(9383) 42 .")
+        r = P.grok(msgs(spark, line), "%{RT_FLOW1}").first()
+        # hyphenated grok aliases sanitize to underscores (Java/Python
+        # named groups forbid '-')
+        assert r.event == "RT_FLOW_SESSION_CLOSE"
+        assert r.src_ip == "10.0.0.1" and r.dst_ip == "192.0.2.7"
+        assert r.policy_name == "allow-web" and r.session_id == "4087"
+        assert r.elapsed_time == "42"
+
+    def test_nagios_service_alert(self, spark):
+        line = ("[1427925600] SERVICE ALERT: web01;http;CRITICAL;SOFT;1;"
+                "Connection refused")
+        r = P.grok(msgs(spark, line),
+                   "%{NAGIOSTIME} %{NAGIOS_SERVICE_ALERT}").first()
+        assert r.nagios_epoch == "1427925600"
+        assert r.nagios_type == "SERVICE ALERT"
+        assert r.nagios_hostname == "web01" and r.nagios_service == "http"
+        assert r.nagios_state == "CRITICAL" and r.nagios_attempt == "1"
+        assert r.nagios_message == "Connection refused"
+
+    def test_netscreen_and_mikrotik(self, spark):
+        ns = ("Oct 11 22:14:15 fw01 ns5gt: NetScreen device_id=ns5gt "
+              "[Root]system-notification-00257(traffic): "
+              "start_time=\"2024-10-11 22:14:00\" duration=15 policy_id=2 "
+              "service=https proto=6 src zone=Trust dst zone=Untrust "
+              "action=Permit sent=1024 rcvd=4096 src=10.0.0.5 dst=192.0.2.1 "
+              "src_port=51000 dst_port=443 src-xlated ip=203.0.113.9 "
+              "port=51000 dst-xlated ip=192.0.2.1 port=443 "
+              "session_id=12345 reason=Close - TCP FIN")
+        r = P.grok(msgs(spark, ns), "%{NETSCREENSESSIONLOG}").first()
+        assert r.device_id == "ns5gt" and r.action == "Permit"
+        assert r.src_ip == "10.0.0.5" and r.session_id == "12345"
+        mk = ("gw1 forward: in:ether1 out:ether2, proto TCP (SYN), "
+              "10.0.0.9:51234->192.0.2.4:80, len 60")
+        r2 = P.grok(msgs(spark, mk), "%{MIKROTIKFWALL}").first()
+        assert r2.srcip == "10.0.0.9" and r2.dstport == "80"
+        assert r2.action == "forward" and r2.len == "60"
+
     def test_inline_oniguruma_named_group(self, spark):
         # grok's second capture syntax: (?<name>...) inline
         r = P.grok(msgs(spark, "took 137ms"),
