@@ -359,6 +359,49 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
             .select("id_a", "id_b", "hamming"))
 
 
+# --- winnowing fingerprints ----------------------------------------------------
+
+def pos_shingles(col: str = "text", k: int = 3) -> Column:
+    """Positional k-word shingles WITH duplicates, in document order — the
+    winnowing input (dedup would break window minima).  One Arrow pass."""
+    @F.pandas_udf("array<string>")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = (t or "").split(" ")
+            n = max(len(ws) - k + 1, 1)
+            out.append([" ".join(ws[i:i + k]) for i in range(n)])
+        return pd.Series(out)
+
+    return sh(F.col(col))
+
+
+def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
+                        col: str = "text", k: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document sketch (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every positional k-shingle, keep the minimum hash of each sliding
+    ``window`` — the distinct minima are the fingerprint set, robust to
+    insertions (any sufficiently long shared run yields a shared minimum).
+
+    Scale shape: shingle hash is NATIVE (md5 prefix on the exploded shingle
+    — JVM codegen, no Python on the hot path after the positional-shingle
+    pass), window min per doc, distinct.  The 60-bit md5-prefix hash keeps
+    the sketch replayable in external SQL for the driver oracle.
+
+    Output: (id_col, fp) rows — explodeable into an inverted index for
+    containment / plagiarism-style matching at corpus scale.
+    """
+    from pyspark.sql import Window
+    pos = df.select(F.col(id_col),
+                    F.posexplode(pos_shingles(col, k)).alias("pos", "_sh"))
+    h = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(-(window - 1), 0))
+    return (pos.withColumn("fp", F.min(h).over(w))
+            .select(id_col, "fp").distinct())
+
+
 # --- text analysis -----------------------------------------------------------
 
 EN_STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "is", "it", "that"]

@@ -10,6 +10,9 @@ the final top-k reduce.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -113,9 +116,6 @@ def exact_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
     the verifier on candidates; the exact grid is for low thresholds where
     guaranteed-recall blocking does not exist.
     """
-    import numpy as np
-    import pandas as pd
-
     B = n_blocks
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("id"),
@@ -193,6 +193,67 @@ def lsh_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     return (cand_ids.join(va, "id_a").join(vb, "id_b")
             .filter(cosine(F.col("_va"), F.col("_vb")) > threshold)
             .select("id_a", "id_b"))
+
+
+def ivf_assign(df: DataFrame, centroids: list, *, vec_col: str = "v",
+               cell_col: str = "cell", nprobe: int = 1) -> DataFrame:
+    """Assign each vector its ``nprobe`` nearest centroid cells (cosine,
+    ties to the smaller centroid id).  ``centroids`` = [(cid, [floats])],
+    small (they ride into the UDF closure; at real scale they'd broadcast).
+    One Arrow pass: the whole batch scores against the centroid matrix as
+    a single normalized matrix product."""
+    cids = np.array([c[0] for c in centroids], dtype=np.int64)
+    cm = np.stack([np.asarray(c[1], dtype=np.float64) for c in centroids])
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    order = np.argsort(cids)
+    cids, cm = cids[order], cm[order]          # ascending cid = stable ties
+
+    @F.pandas_udf("array<long>")
+    def cells(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cm.T
+        # stable argsort on -sims: equal sims resolve to the smaller cid
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cids[top]))
+
+    return df.withColumn(cell_col, cells(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = 10, n_centroids: int = 8, nprobe: int = 2) -> DataFrame:
+    """IVF approximate top-k: corpus partitions into centroid cells; each
+    query searches only its ``nprobe`` nearest cells.  Centroids are
+    DETERMINISTIC — the embeddings of the ``n_centroids`` smallest ids
+    (a fixed coreset instead of k-means iterations), so an external SQL
+    oracle can replay the exact cell assignment and probe set.
+
+    Scale shape: cell assignment is a map-only Arrow pass over the corpus;
+    the probe join is an equi-join on cell id (corpus scan cost unchanged,
+    pair count divided by ~n_centroids/nprobe); per-query top-k via window
+    over candidates only.
+    """
+    base = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).cast("array<double>").alias("_cv"))
+    cents = [(r[0], list(r[1])) for r in
+             base.filter(F.col("neighbor_id") < n_centroids)
+             .select("neighbor_id", "_cv").collect()]
+    cb = ivf_assign(base, cents, vec_col="_cv", cell_col="_cells", nprobe=1) \
+        .withColumn("cell", F.element_at("_cells", 1)).drop("_cells")
+    qb = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_qv")),
+        cents, vec_col="_qv", cell_col="_cells", nprobe=nprobe) \
+        .select("query_id", "_qv", F.explode("_cells").alias("cell"))
+    scored = (cb.join(F.broadcast(qb), "cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, *,

@@ -647,6 +647,29 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", D.fingerprint("text").alias("fp"))
 
 
+@_q("winnow_fingerprints", """
+WITH sh AS (
+  SELECT doc_id, i,
+         array_to_string((string_split(text, ' '))[i:i+2], ' ') AS sh
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+h AS (SELECT doc_id, i,
+             CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h
+      FROM sh),
+wm AS (SELECT doc_id,
+              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+       FROM h)
+SELECT DISTINCT doc_id, fp FROM wm
+""")
+def q_winnow(spark, sf_dir):
+    """Winnowing sketch over documents; the oracle recomputes the identical
+    positional shingle hashes and window minima in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.winnow_fingerprints(docs, k=3, window=4)
+
+
 @_q("ann_brute_force_topk", """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
 scored AS (
@@ -1063,6 +1086,39 @@ def q_embedding_near_dup(spark, sf_dir):
     BroadcastNestedLoopJoin/cartesian plan."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.exact_cosine_pairs(emb, threshold=0.4, n_blocks=8)
+
+
+@_q("ann_ivf_topk", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+scored_cells AS (
+  SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+  FROM e CROSS JOIN c),
+assign AS (SELECT vec_id, v, cid AS cell FROM (
+   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid)
+     AS rn FROM scored_cells) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid)
+     AS rn FROM scored_cells WHERE vec_id < 5) WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, p.qv) AS sim
+  FROM assign a JOIN probes p USING (cell)
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand)
+WHERE rank <= 5
+""")
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (deterministic coreset centroids, nprobe=2).
+    The oracle replays the exact cell assignment and probe set in SQL, so
+    the inverted-file approximation itself is driver-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
 
 
 def _lsh_bucket_sql(seed: int, n_planes: int = 8, dim: int = 64) -> str:

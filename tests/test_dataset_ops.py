@@ -201,6 +201,33 @@ def test_ann_lsh_recall_on_clear_neighbors(spark):
     assert any(r.neighbor_id == 99 for r in out)  # planted neighbor found
 
 
+def test_ivf_topk_finds_planted_neighbor(spark):
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows.append((99, (base[9] + 0.01 * rng.randn(16).astype("float32")).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 9)
+    out = S.ivf_topk(emb, q, k=3, n_centroids=4, nprobe=2).collect()
+    assert any(r.neighbor_id == 99 and r.rank == 1 for r in out)
+
+
+def test_winnow_shared_run_shares_fingerprints(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, "intro words here " + shared),
+         (2, shared + " totally different ending text"),
+         (3, "unrelated content about warp drives and tea")],
+        "doc_id int, text string")
+    fps = D.winnow_fingerprints(docs, k=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]          # shared run -> shared minima
+    assert not (by_doc[1] & by_doc[3])    # disjoint text -> disjoint sketch
+
+
 def test_multimodal_features_and_frames(spark):
     rows = [("m1", "image", b"0123456789abcdef" * 4, {"width": "64"}),
             ("m2", "audio", b"xyz", {"width": "0"}),
