@@ -50,6 +50,22 @@ def interpolated_path_write(df: DataFrame, base_path: str, template: str,
     return fields
 
 
+def write_bucketed(df: DataFrame, table: str, *, key: str,
+                   buckets: int = 8, sorted_by_key: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Bucketed (and bucket-sorted) managed-table write — the co-located
+    join primitive for repeated big-big joins at 100 TB: two tables
+    bucketed identically on the join key execute a SortMergeJoin with ZERO
+    Exchange (and with sortBy, zero Sort) — the shuffle is paid once at
+    write time and amortized over every downstream join/aggregate on the
+    key (plan pinned by tests/test_plan_shapes.py).
+    """
+    w = df.write.mode(mode).bucketBy(buckets, key)
+    if sorted_by_key:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
 def daily_index_write(df: DataFrame, base_path: str, *, prefix: str = "logs",
                       ts_col: str = "@timestamp", fmt: str = "parquet",
                       mode: str = "overwrite") -> DataFrame:

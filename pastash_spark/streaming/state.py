@@ -60,17 +60,24 @@ def lru_state_stream(df: DataFrame, *, key: str, action: str = "action",
             state.remove()
             return
         (cur,) = state.get if state.exists else (None,)
-        rows = []
+        outs = []
         for pdf in pdfs:
             pdf = pdf.sort_values("seq")
-            for _, r in pdf.iterrows():
-                if r[action] == "set":
-                    cur = r[value]
-                rows.append((key_t[0], int(r["seq"]), r[action], cur))
+            # vectorized set/get: forward-fill the set-values within the
+            # batch, seeded by the carried state — no per-row Python
+            got = pdf[value].where(pdf[action].eq("set")).ffill()
+            if cur is not None:
+                got = got.fillna(cur)
+            last_set = pdf[value][pdf[action].eq("set")]
+            if len(last_set):
+                cur = last_set.iloc[-1]
+            outs.append(pd.DataFrame({
+                key: key_t[0], "seq": pdf["seq"].astype("int64"),
+                action: pdf[action], "got": got}))
         if cur is not None:
             state.update((cur,))
             state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame(rows, columns=[key, "seq", action, "got"])
+        yield pd.concat(outs, ignore_index=True)
 
     return (df.groupBy(key)
             .applyInPandasWithState(fn, out_schema, state_schema,
@@ -89,7 +96,7 @@ def multiline_stream(df: DataFrame, *, key: str, order: str = "seq",
     Output: (key, first_seq, message, n_lines).
     """
     import re
-    start_re = re.compile(start_line_regex)
+    re.compile(start_line_regex)   # validate at plan-build time
     out_schema = f"`{key}` string, first_seq long, `{field}` string, n_lines int"
     state_schema = "lines array<string>, first_seq long"
 
@@ -108,15 +115,29 @@ def multiline_stream(df: DataFrame, *, key: str, order: str = "seq",
         flushed = []
         for pdf in pdfs:
             pdf = pdf.sort_values(order)
-            for _, r in pdf.iterrows():
-                line = r[field]
-                if start_re.search(line) and lines:
+            # vectorized grouping: running count of start-lines splits the
+            # batch; group 0 (pre-first-start lines) continues the carried
+            # buffer; every group but the last flushes; the last becomes
+            # the new carried buffer
+            starts = pdf[field].str.contains(start_line_regex, regex=True,
+                                             na=False)
+            grp = starts.cumsum()
+            agg = (pdf.assign(_g=grp.values)
+                   .groupby("_g", sort=True)
+                   .agg(glines=(field, list), gfirst=(order, "min")))
+            groups = [(int(first), list(ls))
+                      for ls, first in agg.itertuples(index=False, name=None)]
+            if groups and len(grp) and grp.iloc[0] == 0:
+                # continuation of the carried buffer
+                cont_first, cont_lines = groups.pop(0)
+                if first_seq is None:
+                    first_seq = cont_first
+                lines.extend(cont_lines)
+            for g_first, g_lines in groups:
+                if lines:
                     flushed.append((key_t[0], int(first_seq),
                                     joiner.join(lines), len(lines)))
-                    lines, first_seq = [], None
-                if first_seq is None:
-                    first_seq = int(r[order])
-                lines.append(line)
+                lines, first_seq = g_lines, g_first
         if lines:
             state.update((lines, first_seq))
             state.setTimeoutDuration(max_delay_ms)

@@ -94,6 +94,34 @@ def test_dedup_exact_is_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    """Two tables bucketed identically on the join key must join with ZERO
+    Exchange (and, bucket-sorted, zero Sort) — the write-once-shuffle,
+    join-many-times primitive for 100 TB fact-fact joins."""
+    from pastash_spark.sources.sinks import write_bucketed
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 97).alias("va"))
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 89).alias("vb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the big-big (SortMergeJoin) regime the primitive targets —
+        # at test size the planner would otherwise just broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(a, "bkt_a", key="k", buckets=4)
+        write_bucketed(b, "bkt_b", key="k", buckets=4)
+        j = (spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+             .select("k", "va", "vb"))
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 def test_exact_cosine_pairs_is_grid_equi_join_not_cartesian(spark):
     """The all-pairs cosine join must distribute as a block-grid equi-join —
     never BroadcastNestedLoopJoin/CartesianProduct, which funnel the whole
