@@ -371,6 +371,60 @@ def _and_not(cond: Any, negated: list[Any]) -> Any:
     return node if node is not None else True
 
 
+def run_conf_files(spark, text: str, *, base_dir: str | None = None) -> list[str]:
+    """FULL .conf execution, the reference's `bin/pastash --config_file`
+    surface (test_421_logstash.js:13-57): `input { file {...} }` specs read
+    via the text reader (raw unserializer + path stamp), the filter chain
+    runs as one lazy plan, and every `output { file {...} }` spec — however
+    deeply conditional — writes its filtered view as NDJSON
+    (`json_logstash` serializer) or raw lines in ONE job per sink over the
+    same scan.  Relative paths resolve under ``base_dir``.  Returns the
+    written output paths (each a directory of part files — the distributed
+    analogue of the reference's single append-file)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pastash_spark.functions.conditions import compile_condition
+    from pastash_spark.plans import builder
+    from pastash_spark.sources.readers import read_lines
+    from pastash_spark.sources.sinks import ndjson_serialize
+
+    def resolve(p: str) -> str:
+        return p if (base_dir is None or os.path.isabs(p)) \
+            else os.path.join(base_dir, p)
+
+    specs = conf_to_specs(text)
+    file_inputs = [s for s in specs["input"] if s["op"] == "file"]
+    if not file_inputs:
+        raise ValueError("run_conf_files: config has no file input")
+    df = None
+    for s in file_inputs:
+        part = read_lines(spark, resolve(s["path"]), type_value=s.get("type"))
+        df = part if df is None else df.unionByName(
+            part, allowMissingColumns=True)
+
+    out_df = builder.build(df, specs["filter"])
+    written: list[str] = []
+    for spec in specs["output"]:
+        spec = dict(spec)
+        gate = spec.pop("only_if", None)
+        if spec["op"] != "file":
+            continue
+        view = out_df if gate in (None, True) else \
+            out_df.filter(compile_condition(gate, out_df.schema))
+        path = resolve(spec["path"])
+        if spec.get("serializer", "json_logstash") == "json_logstash":
+            ts = "@timestamp" if "@timestamp" in view.columns else None
+            payload = ndjson_serialize(view, timestamp_col=ts).select("json")
+        else:  # raw serializer: the message field as plain lines
+            payload = view.select(
+                F.col(spec.get("field", "message")).cast("string"))
+        payload.write.mode("overwrite").text(path)
+        written.append(path)
+    return written
+
+
 def build_conf(df, text: str):
     """Run a .conf's filter chain on a DataFrame; returns (df, outputs)
     where outputs = [(plugin_spec, filtered_df)] — each conditional output

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pastash_spark.plans.logstash_conf import (
-    build_conf, conf_to_specs, parse_conf)
+    build_conf, conf_to_specs, parse_conf, run_conf_files)
 
 
 def msgs(spark, *lines):
@@ -210,6 +210,41 @@ class TestEndToEnd421:
         out, _ = build_conf(df, conf)
         got = {r.message: r.toto for r in out.collect()}
         assert got == {"35": "tata", "12": None, "abc": None}
+
+    def test_run_conf_files_file_to_file(self, spark, tmp_path):
+        """The reference's canonical file -> filters -> file e2e
+        (test_421_logstash.js): literal .conf, real input file, NDJSON
+        outputs partitioned by the output conditions."""
+        import json
+        import os
+        (tmp_path / "input.txt").write_text(
+            "ERROR disk full\nINFO all good\nERROR cpu melted\n")
+        conf = """
+        input { file { path => input.txt type => applog } }
+        filter {
+          regex { regex => /^(\\w+) (.*)$/ fields => [lvl, rest] }
+          compute_field { field => summary value => "#{lvl}:#{rest}" }
+        }
+        output {
+          if [lvl] == "ERROR" {
+            file { path => errors.ndjson serializer => json_logstash }
+          }
+          else { file { path => other.ndjson serializer => json_logstash } }
+        }
+        """
+        written = run_conf_files(spark, conf, base_dir=str(tmp_path))
+        assert sorted(os.path.basename(p) for p in written) == \
+            ["errors.ndjson", "other.ndjson"]
+        errs = [json.loads(l) for l in
+                spark.read.text(str(tmp_path / "errors.ndjson"))
+                .toPandas()["value"]]
+        assert sorted(e["summary"] for e in errs) == \
+            ["ERROR:cpu melted", "ERROR:disk full"]
+        assert all(e["type"] == "applog" for e in errs)
+        other = [json.loads(l) for l in
+                 spark.read.text(str(tmp_path / "other.ndjson"))
+                 .toPandas()["value"]]
+        assert [e["summary"] for e in other] == ["INFO:all good"]
 
     def test_conditional_outputs_partition_rows(self, spark):
         """if/else-if/else over outputs = mutually-exclusive routed sinks."""
