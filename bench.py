@@ -53,7 +53,8 @@ HEADLINE = [
     "dedup_exact", "minhash_lsh_dedup", "simhash_near_pairs",
     "ann_brute_force_topk", "token_stats", "quality_features",
     "pipeline_haproxy_parse", "app_janus_correlate", "topk_orders",
-    "revenue_by_nation", "embedding_near_dup_lsh",
+    "revenue_by_nation", "embedding_near_dup_lsh", "ann_ivf_topk",
+    "winnow_fingerprints",
 ]
 
 

@@ -68,6 +68,25 @@ class TestParser104:
         assert p["add_tags"] == "toto"
         assert p["add_fields"] == {"a": "b", "c": "d"}
 
+    def test_special_chars_fixtures(self):
+        """test/parser/special_chars_* fixture shapes: escaped newline,
+        escaped/nested quotes, spaces, utf8, empty plugin blocks."""
+        t = parse_conf('output { es { host => "\\nlocalhost" } stdout { } }')
+        assert t["output"][0]["es"]["host"] == "\nlocalhost"
+        assert t["output"][1] == {"stdout": {}}
+        t = parse_conf('output { es { host => "\\"localhost" '
+                       "host2 => \"'localhost\" } }")
+        assert t["output"][0]["es"] == {"host": '"localhost',
+                                        "host2": "'localhost"}
+        t = parse_conf("output { es { host => '\\'localhost' "
+                       "host2 => '\"localhost' } }")
+        assert t["output"][0]["es"] == {"host": "'localhost",
+                                        "host2": '"localhost'}
+        t = parse_conf('output { es { host => "local host" } }')
+        assert t["output"][0]["es"]["host"] == "local host"
+        t = parse_conf('output { es { host => "éàlocalhost" } }')
+        assert t["output"][0]["es"]["host"] == "éàlocalhost"
+
     def test_if_else_if_else_tree(self):
         tree = parse_conf("""
         filter {
