@@ -238,10 +238,12 @@ def app_janus_correlate(df: DataFrame, *, ts: str = "ts",
 
     The GunDB key-value store becomes three PAIRING DIMENSIONS derived by
     aggregation (latest write per key wins — deterministic (ts, order)
-    tie-break); each is tiny relative to the event stream, so every
-    enrichment is a broadcast-able equi-join against a one-pass dim build.
-    A batch replay reads the FINAL pairing value (the processing-time
-    analogue of the reference's live GunDB reads).
+    tie-break).  Join strategy is left to Catalyst/AQE on purpose: the dims
+    are O(#sessions)/O(#transports) — far smaller than the event stream but
+    NOT constant-size, so a forced broadcast would OOM at 10^10 sessions
+    while AQE's runtime SMJ->BHJ conversion still broadcasts them whenever
+    they fit.  A batch replay reads the FINAL pairing value (the
+    processing-time analogue of the reference's live GunDB reads).
 
     Expects columns: ``type`` (int), ``session_id``, ``transport_id``,
     ``opaque_id``, ``ip``, ``port``, plus ts/order for recency.
@@ -279,21 +281,21 @@ def app_janus_correlate(df: DataFrame, *, ts: str = "ts",
 
     out = (live
            # type-128 session backfill through the transport pairing
-           .join(F.broadcast(tr2sess),
+           .join(tr2sess,
                  (F.col("type") == 128) &
                  (F.col("transport_id") == F.col("_bf_tr")), "left")
            .withColumn("session_id", F.coalesce("session_id", "_bf_session"))
            .drop("_bf_tr", "_bf_session")
            # opaque propagation per (possibly backfilled) session
-           .join(F.broadcast(sess2op),
+           .join(sess2op,
                  F.col("session_id") == F.col("_op_sess"), "left")
            .withColumn("opaque_id", F.coalesce("opaque_id", "_op"))
            .drop("_op_sess", "_op")
            # media enrichment: session -> transport -> ip/port
-           .join(F.broadcast(sess2tr),
+           .join(sess2tr,
                  (F.col("type") == 32) &
                  (F.col("session_id") == F.col("_m_sess")), "left")
-           .join(F.broadcast(tr2ip),
+           .join(tr2ip,
                  F.col("_mtr") == F.col("_ip_tr"), "left")
            .withColumn("media_ip",
                        F.when(F.col("type") == 32,
