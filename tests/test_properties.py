@@ -94,6 +94,139 @@ def test_gt_comparison_matches_js_parseint_oracle(spark, values, rhs):
     assert got == want
 
 
+# --- random condition-AST property vs a reference-semantics Python oracle ---
+
+_LIT = st.one_of(st.text(alphabet="ab7 ", max_size=4),
+                 st.integers(-20, 20))
+_LEAF = st.one_of(st.just({"field": "a"}), st.just({"field": "b"}), _LIT)
+_REGEXES = ["a", "b.", "^7", "[0-9]+", "a+b"]
+
+
+def _cmp_nodes(children):
+    return st.one_of(
+        st.builds(lambda o, l, r: {"op": o, "left": l, "right": r},
+                  st.sampled_from(["==", "!=", ">", "<", ">=", "<="]),
+                  _LEAF, _LEAF),
+        st.builds(lambda o, l, r: {"op": o, "left": l, "right": r},
+                  st.sampled_from(["=~", "!~"]),
+                  st.one_of(st.just({"field": "a"}), st.just({"field": "b"})),
+                  st.sampled_from(_REGEXES)),
+        st.builds(lambda o, l, r: {"op": o, "left": l, "right": r},
+                  st.sampled_from(["in", "not in"]),
+                  st.one_of(st.just({"field": "a"}), st.just({"field": "b"})),
+                  st.lists(_LIT, min_size=1, max_size=3)),
+        st.builds(lambda f: {"op": "miss", "operand": f},
+                  st.one_of(st.just({"field": "a"}), st.just({"field": "b"}))),
+        st.builds(lambda c: {"op": "!", "operand": c}, children),
+        st.builds(lambda o, l, r: {"op": o, "left": l, "right": r},
+                  st.sampled_from(["and", "or", "xor", "nand"]),
+                  children, children),
+    )
+
+
+_AST = st.recursive(_cmp_nodes(st.just({"field": "a"})), _cmp_nodes,
+                    max_leaves=8)
+
+
+def _py_cond(ast, row) -> bool:
+    """Independent Python oracle of condition_evaluator.js semantics (as
+    functions/conditions.py documents them)."""
+    def val(x):
+        if isinstance(x, dict) and "field" in x:
+            return row[x["field"]]
+        return x
+
+    def as_str(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    if not (isinstance(ast, dict) and "op" in ast):
+        v = val(ast)
+        return v is not None and as_str(v) != ""
+    op = ast["op"]
+    if op == "!":
+        return not _py_cond(ast["operand"], row)
+    if op == "miss":
+        return val(ast["operand"]) is None
+    if op in ("and", "or", "xor", "nand"):
+        l, r = _py_cond(ast["left"], row), _py_cond(ast["right"], row)
+        return {"and": l and r, "or": l or r, "xor": l != r,
+                "nand": not (l and r)}[op]
+    l, r = val(ast["left"]), val(ast["right"])
+    if op in ("==", "!="):
+        eq = as_str(l) == as_str(r)
+        return eq if op == "==" else not eq
+    if op in (">", ">=", "<", "<="):
+        li, ri = _py_parseint(l) if l is not None else None, \
+            _py_parseint(r) if r is not None else None
+        if li is None or ri is None:
+            return False
+        return {"": 0, ">": li > ri, ">=": li >= ri,
+                "<": li < ri, "<=": li <= ri}[op]
+    if op in ("=~", "!~"):
+        m = l is not None and re.search(ast["right"], as_str(l)) is not None
+        return m if op == "=~" else not m
+    if op in ("in", "not in"):
+        m = l is not None and as_str(l) in [str(v) for v in ast["right"]]
+        return m if op == "in" else not m
+    raise AssertionError(op)
+
+
+_FIELD_VAL = st.one_of(st.none(), st.text(alphabet="ab7 ", max_size=4),
+                       st.integers(-20, 20).map(str))
+
+
+@given(st.lists(_AST, min_size=1, max_size=6),
+       st.lists(st.tuples(_FIELD_VAL, _FIELD_VAL), min_size=1, max_size=25))
+@settings(max_examples=6, deadline=None)
+def test_condition_compiler_matches_python_oracle(spark, asts, rows):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "a string, b string")
+    cols = [compile_condition(ast, df.schema).alias(f"c{i}")
+            for i, ast in enumerate(asts)]
+    got = df.select(*cols).collect()
+    for j, (a, b) in enumerate(rows):
+        row = {"a": a, "b": b}
+        for i, ast in enumerate(asts):
+            want = _py_cond(ast, row)
+            assert got[j][f"c{i}"] == want, (ast, row)
+
+
+# --- mustache: native escaped-concat fast path == the Python renderer --------
+
+_M_TEXT = st.text(alphabet="xy <&\"'/=` .", max_size=6).filter(
+    lambda s: "{{" not in s)
+_M_TOK = st.one_of(_M_TEXT.map(lambda t: ("text", t)),
+                   st.sampled_from([("var", "a"), ("var", "b"),
+                                    ("raw", "a"), ("raw", "b")]))
+
+
+@given(st.lists(_M_TOK, min_size=1, max_size=6),
+       st.lists(st.tuples(
+           st.one_of(st.none(), st.text(alphabet="v<&'x", max_size=5)),
+           st.one_of(st.none(), st.text(alphabet="w>\"y", max_size=5))),
+           min_size=1, max_size=15))
+@settings(max_examples=6, deadline=None)
+def test_mustache_native_path_matches_renderer(spark, toks, rows):
+    """Two independent implementations must agree: the codegen
+    escaped-concat fast path vs functions/mustache.py's render_row."""
+    from pastash_spark.functions import mustache as MU
+    from pastash_spark.operators.mutate import mustache as op_mustache
+    template = "".join(
+        t[1] if t[0] == "text"
+        else ("{{%s}}" % t[1] if t[0] == "var" else "{{{%s}}}" % t[1])
+        for t in toks)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = [r.o for r in op_mustache(df, "o", template).collect()]
+    parsed = MU.parse_template(template)
+    assert MU.only_simple_vars(parsed)      # ensures the native path ran
+    want = [MU.render_row(parsed, {"a": a, "b": b}) for a, b in rows]
+    assert got == want
+
+
 @given(st.lists(
     st.tuples(st.text(alphabet="abcXYZ ", min_size=0, max_size=8),
               st.one_of(st.none(),
