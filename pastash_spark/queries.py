@@ -382,6 +382,137 @@ def q_statsd(spark, sf_dir):
 
 
 # =========================================================================
+# §2.1/§2.2 remaining filters, driver-gated (csv, bunyan, jail, mustache,
+# rename/omit, geoip range join, reverse_dns with injected resolver)
+# =========================================================================
+
+@_q("csv_parse", """
+SELECT event_id, event_type AS a, CAST(user_id AS VARCHAR) AS b,
+       'v,' || CAST(event_id % 7 AS VARCHAR) AS c
+FROM events
+""")
+def q_csv_parse(spark, sf_dir):
+    """from_csv with a quoted field containing the separator."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "message", F.concat(F.col("event_type"), F.lit(","),
+                            F.col("user_id").cast("string"),
+                            F.lit(',"v,'), (F.col("event_id") % 7).cast("string"),
+                            F.lit('"')))
+    out = P.csv_parse(ev, "a string, b string, c string")
+    return out.select("event_id", "a", "b", "c")
+
+
+@_q("bunyan_parse", """
+SELECT event_id,
+       'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+       'm ' || CAST(event_id AS VARCHAR) AS message,
+       CAST(10 + (event_id % 6) * 10 AS INT) AS level,
+       CASE WHEN 10 + (event_id % 6) * 10 >= 60 THEN 'FATAL'
+            WHEN 10 + (event_id % 6) * 10 >= 50 THEN 'ERROR'
+            WHEN 10 + (event_id % 6) * 10 >= 40 THEN 'WARN'
+            WHEN 10 + (event_id % 6) * 10 >= 30 THEN 'INFO'
+            WHEN 10 + (event_id % 6) * 10 >= 20 THEN 'DEBUG'
+            ELSE 'TRACE' END AS level_name,
+       CAST(1000 + event_id % 100 AS INT) AS pid
+FROM events
+""")
+def q_bunyan_parse(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "message", F.concat(
+            F.lit('{"time":"2024-03-05T06:07:08Z","hostname":"h'),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit('","msg":"m '), F.col("event_id").cast("string"),
+            F.lit('","name":"svc","level":'),
+            (10 + (F.col("event_id") % 6) * 10).cast("string"),
+            F.lit(',"pid":'), (1000 + F.col("event_id") % 100).cast("string"),
+            F.lit("}")))
+    out = P.bunyan(ev)
+    return out.select("event_id", "host", "message", "level", "level_name",
+                      "pid")
+
+
+@_q("jail_serialize", """
+SELECT event_id,
+       '{"event_type":"' || event_type || '","user_id":'
+       || CAST(user_id AS VARCHAR) || '}' AS json
+FROM events
+""")
+def q_jail(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "user_id")
+    jailed = P.jail(ev, "event", keep=["event_id"])
+    return jailed.select("event_id", F.to_json("event").alias("json"))
+
+
+_MUSTACHE_ESC_SQL = (
+    "replace(replace(replace(replace(replace(replace(replace(replace("
+    "props, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), "
+    "'''', '&#39;'), '/', '&#x2F;'), chr(96), '&#x60;'), '=', '&#x3D;')")
+
+
+@_q("mustache_render", f"""
+SELECT event_id,
+       'u=' || CAST(user_id AS VARCHAR) || ':' || event_type || '&p='
+       || {_MUSTACHE_ESC_SQL} AS out
+FROM events
+""")
+def q_mustache(spark, sf_dir):
+    """Native escaped-concat mustache path incl. mustache.js HTML escaping
+    of the JSON-ish props field; the oracle replays the entity chain."""
+    ev = _t(spark, sf_dir, "events")
+    out = M.mustache(ev, "out", "u={{user_id}}:{{event_type}}&p={{props}}")
+    return out.select("event_id", "out")
+
+
+@_q("rename_omit_project", """
+SELECT event_id, value AS metric FROM events
+""")
+def q_rename_omit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = M.omit(M.rename(ev, "value", "metric"),
+                 whitelist=["event_id", "metric"])
+    return out
+
+
+@_q("geoip_range_join", """
+SELECT event_id,
+       CASE WHEN (event_id % 100000) % 10000 < 5000
+            THEN 'net-' || CAST((event_id % 100000) // 10000 AS VARCHAR)
+       END AS geo_name
+FROM events
+""")
+def q_geoip_range(spark, sf_dir):
+    """The maxmind block-file pattern: value BETWEEN range bounds against a
+    broadcast range table; gaps stay NULL."""
+    from pastash_spark.operators.enrich import range_lookup
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ip_int", F.col("event_id") % 100000)
+    ranges = spark.createDataFrame(
+        [(i * 10000, i * 10000 + 4999, f"net-{i}") for i in range(10)],
+        "range_start long, range_end long, geo_name string")
+    out = range_lookup(ev, ranges, "ip_int")
+    return out.select("event_id", "geo_name")
+
+
+@_q("reverse_dns_lookup", """
+SELECT event_id,
+       CASE WHEN user_id % 5 < 3
+            THEN 'host-' || CAST(user_id % 5 AS VARCHAR) || '.example'
+       END AS hostname
+FROM events
+""")
+def q_reverse_dns(spark, sf_dir):
+    """mapInPandas PTR lookup with the injectable resolver (per-partition
+    memo); unresolvable addresses stay NULL."""
+    from pastash_spark.operators.enrich import reverse_dns
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "host", F.concat(F.lit("10.0.0."), (F.col("user_id") % 5).cast("string")))
+    resolver = {f"10.0.0.{i}": f"host-{i}.example" for i in range(3)}
+    out = reverse_dns(ev, field="host", resolver=resolver)
+    return out.select("event_id", "hostname")
+
+
+# =========================================================================
 # Relational competence (joins / aggs at TPC-H shapes)
 # =========================================================================
 
