@@ -55,14 +55,22 @@ def _ensure_shipped(spark: SparkSession) -> None:
     _shipped.add(app)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship pipeline; driver checks rows>0 and a stable schema.
+_SF_DIR = os.environ.get("SPARK_GRAFT_ENTRY_SF", "/root/testdata/sf0.001")
 
-    Input is the deterministic synthetic token table (seed=42) — the
-    BASELINE.json input_hint shape — generated distributed, never collected.
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship pipeline over the driver's sf0.001 parquet (per contract);
+    driver checks rows>0 and a stable schema.
+
+    The input_hint-shaped token table derives deterministically from
+    documents.parquet (portable tokenization + rendered syslog header);
+    falls back to the synthetic generator if the testdata dir is absent.
     """
     _ensure_shipped(spark)
-    df = datagen.token_sequences(spark, 5_000)
+    if os.path.exists(os.path.join(_SF_DIR, "documents.parquet")):
+        df = flagship.token_table_from_documents(spark, _SF_DIR)
+    else:
+        df = datagen.token_sequences(spark, 5_000)
     out = flagship.run(spark, df)
     return out["aggregates"]
 

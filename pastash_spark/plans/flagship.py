@@ -88,3 +88,34 @@ def run(spark: SparkSession, df: DataFrame | None = None,
         df = datagen.token_sequences(spark, n_rows)
     lookup = datagen.source_lookup(spark)
     return build(df, lookup, mode=mode)
+
+
+def token_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the flagship input (input_hint shape + rendered `raw` header)
+    from the driver's documents.parquet — everything a deterministic pure
+    column expression over (doc_id, text), so the pipeline runs on real
+    testdata instead of a synthetic generator."""
+    from pastash_spark.operators.dataset import portable_tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    tokens = portable_tokenize("text").cast("array<int>")
+    n_tok = F.size(tokens)
+    source = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("web", "books", "code", "wiki", "news", "arxiv", "forums",
+                   "social", "legal", "patents", "subtitles", "mail")]),
+        (F.pmod(d, F.lit(12)) + 1).cast("int"))
+    doc_id = F.format_string("doc-%06d-%06d", (d / 1000).cast("long"),
+                             F.pmod(d, F.lit(1000)))
+    raw = F.concat(
+        F.lit("<"), F.pmod(d, F.lit(192)).cast("string"),
+        F.lit(">Jan  5 04:05:06 host"), F.pmod(d, F.lit(20)).cast("string"),
+        F.lit(" "), source,
+        F.lit("["), (1000 + F.pmod(d, F.lit(9000))).cast("string"),
+        F.lit("]: ntok="), n_tok.cast("string"),
+        F.lit(" first="), F.element_at(tokens, 1).cast("string"),
+        F.lit(" doc="), doc_id)
+    return docs.select(doc_id.alias("doc_id"), tokens.alias("tokens"),
+                       n_tok.alias("n_tok"), source.alias("source"),
+                       raw.alias("raw"))

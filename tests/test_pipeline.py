@@ -186,3 +186,29 @@ def test_resumable_fanout_conserves_rows(spark, tmp_path):
     # idempotent retry of one bucket: simulate by re-running bucket 0's batch
     process(df.filter(F.col(BUCKET_COL) == 0), [0])
     assert spark.read.parquet(out_path).count() == 1200
+
+
+def test_flagship_from_documents_parquet(spark):
+    """entry() contract: the flagship input derives from the driver's
+    documents.parquet; the grok parse round-trips every rendered field and
+    all four sinks appear."""
+    import os
+    from pastash_spark.plans import flagship
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        import pytest
+        pytest.skip("driver testdata absent")
+    df = flagship.token_table_from_documents(spark, sf)
+    assert df.columns == ["doc_id", "tokens", "n_tok", "source", "raw"]
+    out = flagship.build(df, __import__("pastash_spark.datagen",
+                                        fromlist=["datagen"])
+                         .source_lookup(spark))
+    parsed = out["routed"]
+    from pyspark.sql import functions as F
+    bad = parsed.filter(
+        (F.col("hdr_ntok") != F.col("n_tok")) |
+        (F.col("hdr_doc") != F.col("doc_id")) |
+        (F.col("program") != F.col("source"))).count()
+    assert bad == 0
+    sinks = {r.sink for r in out["sink_counts"].collect()}
+    assert sinks == {"errors", "quality", "code", "bulk"}
