@@ -369,6 +369,24 @@ def q_per_sink_agg(spark, sf_dir):
             .agg(F.count("*").alias("count"), F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+@_q("salted_hot_key_agg", """
+SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total,
+       ROUND(AVG(value), 6) AS mean
+FROM events GROUP BY event_type
+""")
+def q_salted_agg(spark, sf_dir):
+    """Two-phase skew-safe aggregation on the hot key: partial agg on
+    (key, salt) then final on key — identical results to the plain GROUP BY
+    oracle, but no single reducer ever owns a 40%-frequency key."""
+    ev = _t(spark, sf_dir, "events")
+    out = C.salted_aggregate(ev, key="event_type",
+                             aggs={"cnt": F.count("*"),
+                                   "total": F.sum("value"),
+                                   "mean": F.avg("value")})
+    return out.select("event_type", "cnt", F.round("total", 4).alias("total"),
+                      F.round("mean", 6).alias("mean"))
+
+
 @_q("statsd_metrics", """
 SELECT 'events.' || event_type AS metric_key,
        COUNT(*) AS counter, ROUND(SUM(value), 4) AS timer_sum
