@@ -413,6 +413,30 @@ def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
             .select(id_col, "fp").distinct())
 
 
+def winnow_containment_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                             col: str = "text", k: int = 3, window: int = 4,
+                             min_shared: int = 5,
+                             max_posting: int | None = None) -> DataFrame:
+    """Containment / plagiarism-style candidate pairs: docs sharing at least
+    ``min_shared`` winnowing fingerprints.  The sketch is an inverted index
+    (fp -> docs); candidates come from the posting-list self-equi-join —
+    never an all-pairs comparison.  ``max_posting`` caps degenerate posting
+    lists (ubiquitous boilerplate fingerprints) the same way the LSH
+    hot-bucket guards do."""
+    fps = winnow_fingerprints(df, id_col=id_col, col=col, k=k, window=window)
+    if max_posting is not None:
+        counts = fps.groupBy("fp").agg(F.count("*").alias("_n"))
+        fps = fps.join(counts.filter(F.col("_n") <= max_posting), "fp") \
+            .drop("_n")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp")) &
+                   (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
 # --- text analysis -----------------------------------------------------------
 
 EN_STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "is", "it", "that"]

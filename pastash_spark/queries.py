@@ -819,6 +819,33 @@ def q_winnow(spark, sf_dir):
     return D.winnow_fingerprints(docs, k=3, window=4)
 
 
+@_q("winnow_containment_pairs", f"""
+WITH docs AS ({_DUP_ORACLE}),
+sh AS (
+  SELECT doc_id, i,
+         array_to_string((string_split(text, ' '))[i:i+2], ' ') AS sh
+  FROM docs,
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+h AS (SELECT doc_id, i,
+             CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h
+      FROM sh),
+wm AS (SELECT DISTINCT doc_id,
+              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+       FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+FROM wm a JOIN wm b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+""")
+def q_winnow_containment(spark, sf_dir):
+    """Shared-run detection over the duplicate-injected corpus via the
+    winnowing inverted index; oracle replays sketch + posting join."""
+    return D.winnow_containment_pairs(_with_dups(spark, sf_dir),
+                                      min_shared=5)
+
+
 @_q("ann_brute_force_topk", """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
 scored AS (

@@ -228,6 +228,25 @@ def test_winnow_shared_run_shares_fingerprints(spark):
     assert not (by_doc[1] & by_doc[3])    # disjoint text -> disjoint sketch
 
 
+def test_winnow_containment_pairs(spark):
+    shared = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, "prefix words " + shared),
+         (2, shared + " suffix words"),
+         (3, "completely unrelated text with other words entirely")],
+        "doc_id int, text string")
+    pairs = {(r.id_a, r.id_b): r.shared for r in
+             D.winnow_containment_pairs(docs, min_shared=5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 5
+    assert not any(3 in p for p in pairs)
+    # posting-list cap drops ubiquitous fingerprints
+    many = spark.range(50).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("identical boilerplate appears in every doc").alias("text"))
+    capped = D.winnow_containment_pairs(many, min_shared=1, max_posting=10)
+    assert capped.count() == 0
+
+
 def test_multimodal_features_and_frames(spark):
     rows = [("m1", "image", b"0123456789abcdef" * 4, {"width": "64"}),
             ("m2", "audio", b"xyz", {"width": "0"}),
