@@ -437,6 +437,48 @@ def winnow_containment_pairs(df: DataFrame, *, id_col: str = "doc_id",
             .filter(F.col("shared") >= min_shared))
 
 
+# --- corpus statistics --------------------------------------------------------
+
+def vocab_topk(df: DataFrame, *, col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus vocabulary top-k: explode words, count, global top-k.
+    Scale shape: map-side partial counts into ONE shuffle on the word key,
+    then orderBy().limit(k) compiles to TakeOrderedAndProject — no global
+    sort ever materializes.  Ties break lexicographically."""
+    words_ = F.explode(F.split(F.col(col), " ")).alias("word")
+    return (df.select(words_)
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(k))
+
+
+# --- embedding quantization ----------------------------------------------------
+
+def quantize_embeddings(df: DataFrame, *, vec_col: str = "embedding",
+                        bits: int = 8) -> DataFrame:
+    """Symmetric scalar quantization (the storage-compression step of an
+    embedding pipeline): per-vector scale = max|x| / qmax, q_i =
+    floor(x_i/scale + 0.5) — int8 payload is 4x smaller than float32 and
+    dequantization error is bounded by scale/2 per component.
+
+    Pure column expressions (no Python); floor(+0.5) is used instead of
+    round() because its tie behavior is identical across engines, keeping
+    the op SQL-replayable for the driver oracle.  All-zero vectors get
+    scale 0 and a zero q-vector.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(vec_col).cast("array<double>")
+    # materialize the scale as a column FIRST: referencing the array_max
+    # expression inside the transform lambda would re-evaluate it per
+    # element (interpreted — the HOF trap)
+    out = df.withColumn(
+        "q_scale", F.array_max(F.transform(v, lambda x: F.abs(x))) / qmax)
+    s = F.col("q_scale")
+    q = F.when(s == 0, F.transform(v, lambda x: F.lit(0))) \
+        .otherwise(F.transform(v, lambda x: F.floor(x / s + 0.5).cast("int")))
+    return out.withColumn("q_vec", q)
+
+
 # --- text analysis -----------------------------------------------------------
 
 EN_STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "is", "it", "that"]

@@ -846,6 +846,37 @@ def q_winnow_containment(spark, sf_dir):
                                       min_shared=5)
 
 
+@_q("vocab_topk", """
+SELECT word, cnt FROM (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word)
+ORDER BY cnt DESC, word LIMIT 50
+""")
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k — map-side partial counts + one shuffle +
+    TakeOrderedAndProject (no global sort)."""
+    return D.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+@_q("quantize_embeddings", """
+SELECT vec_id, q_scale,
+       CASE WHEN q_scale = 0
+            THEN list_transform(v, x -> 0)
+            ELSE list_transform(v, x -> CAST(floor(x / q_scale + 0.5) AS INT))
+       END AS q_vec
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) / 127 AS q_scale
+      FROM embeddings)
+""")
+def q_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column; the
+    oracle replays scale + floor(+0.5) rounding component-for-component."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.quantize_embeddings(emb).select("vec_id", "q_scale", "q_vec")
+
+
 @_q("ann_brute_force_topk", """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
 scored AS (

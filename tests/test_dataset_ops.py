@@ -247,6 +247,29 @@ def test_winnow_containment_pairs(spark):
     assert capped.count() == 0
 
 
+def test_vocab_topk_counts_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, "c a  a")], "doc_id int, text string")
+    got = [(r.word, r.cnt) for r in D.vocab_topk(docs, k=3).collect()]
+    assert got == [("c", 4), ("a", 3), ("b", 2)]   # '' from double space dropped
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    import numpy as np
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.randn(16).astype("float32").tolist()) for i in range(30)]
+    rows.append((99, [0.0] * 16))                  # all-zero edge
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {r.vec_id: r for r in D.quantize_embeddings(emb).collect()}
+    assert out[99].q_scale == 0 and set(out[99].q_vec) == {0}
+    for i in range(30):
+        r = out[i]
+        orig = np.array(rows[i][1], dtype=np.float64)
+        deq = np.array(r.q_vec, dtype=np.float64) * r.q_scale
+        assert np.all(np.abs(orig - deq) <= r.q_scale / 2 + 1e-12)
+        assert max(abs(q) for q in r.q_vec) <= 127
+
+
 def test_multimodal_features_and_frames(spark):
     rows = [("m1", "image", b"0123456789abcdef" * 4, {"width": "64"}),
             ("m2", "audio", b"xyz", {"width": "0"}),
