@@ -94,6 +94,27 @@ def test_dedup_exact_is_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_vocab_topk_is_take_ordered(spark):
+    from pastash_spark.operators.dataset import vocab_topk
+    docs = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                                 "doc_id int, text string")
+    plan = _plan(vocab_topk(docs, k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_salted_aggregate_is_two_stage(spark):
+    """Partial agg on (key, salt) then final on key: exactly two hash
+    exchanges, never one reducer owning the hot key."""
+    from pastash_spark.operators.correlate import salted_aggregate
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)],
+                               "k string, x double")
+    out = salted_aggregate(df, key="k",
+                           aggs={"cnt": F.count("*"), "total": F.sum("x")})
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_bucketed_join_is_exchange_free(spark):
     """Two tables bucketed identically on the join key must join with ZERO
     Exchange (and, bucket-sorted, zero Sort) — the write-once-shuffle,
