@@ -202,6 +202,32 @@ def mustache(df: DataFrame, target: str, template: str) -> DataFrame:
     return df.withColumn(target, render_udf(payload))
 
 
+def add_timestamp(df: DataFrame) -> DataFrame:
+    """Set @timestamp where absent, never overwrite
+    (filter_add_timestamp.js: only when undefined on the event)."""
+    existing = (F.col("@timestamp") if "@timestamp" in df.columns
+                else F.lit(None).cast("timestamp"))
+    return df.withColumn("@timestamp",
+                         F.coalesce(existing, F.current_timestamp()))
+
+
+def add_host(df: DataFrame, hostname: str | None = None) -> DataFrame:
+    """Set host where absent (filter_add_host.js: os.hostname())."""
+    if hostname is None:
+        import socket
+        hostname = socket.gethostname()
+    existing = (F.col("host") if "host" in df.columns
+                else F.lit(None).cast("string"))
+    return df.withColumn("host", F.coalesce(existing, F.lit(hostname)))
+
+
+def add_version(df: DataFrame, version: str = "1") -> DataFrame:
+    """Set @version where absent (filter_add_version.js)."""
+    existing = (F.col("@version") if "@version" in df.columns
+                else F.lit(None).cast("string"))
+    return df.withColumn("@version", F.coalesce(existing, F.lit(version)))
+
+
 # --- plugin gating (base_component.js:165-247) -------------------------------
 
 def apply_when(df: DataFrame, cond: Column,

@@ -57,6 +57,9 @@ _REGISTRY: dict[str, StageFn] = {
     "remove_tags": M.remove_tags,
     "add_fields": M.add_fields,
     "remove_fields": M.remove_fields,
+    "add_timestamp": M.add_timestamp,
+    "add_host": M.add_host,
+    "add_version": M.add_version,
     "compute_field": M.compute_field,
     "compute_date_field": M.compute_date_field,
     "eval": M.eval_expr,

@@ -269,6 +269,34 @@ class TestBuiltinRegexPatterns:
         assert out.first().syslog_program == "cron"
 
 
+class TestBaseFilters200_201_213:
+    """test_200_filter_add_timestamp.js / test_201_filter_add_host.js /
+    test_213_filter_add_version.js — set-if-absent, never overwrite."""
+
+    def test_add_timestamp_sets_and_preserves(self, spark):
+        df = msgs(spark, "x")
+        out = M.add_timestamp(df).first()
+        assert out["@timestamp"] is not None
+        df2 = spark.createDataFrame([("x", "2020-01-02 03:04:05")],
+                                    "message string, ts string") \
+            .withColumn("@timestamp", F.to_timestamp("ts")).drop("ts")
+        kept = M.add_timestamp(df2).first()
+        assert str(kept["@timestamp"]).startswith("2020-01-02")
+
+    def test_add_host_sets_and_preserves(self, spark):
+        out = M.add_host(msgs(spark, "x"), hostname="me").first()
+        assert out.host == "me"
+        df2 = spark.createDataFrame([("x", "toto")],
+                                    "message string, host string")
+        assert M.add_host(df2, hostname="me").first().host == "toto"
+
+    def test_add_version_sets_and_preserves(self, spark):
+        assert M.add_version(msgs(spark, "x")).first()["@version"] == "1"
+        df2 = spark.createDataFrame([("x", "2")],
+                                    "message string, `@version` string")
+        assert M.add_version(df2).first()["@version"] == "2"
+
+
 class TestMessageFiltering206:
     """/root/reference/test/test_206_message_filtering.js — only_type gates."""
 
