@@ -210,11 +210,14 @@ def truncate(df: DataFrame, *, field: str = DEFAULT_FIELD,
     return df.withColumn(field, F.substring(F.col(field), 1, max_size))
 
 
-def json_fields(df: DataFrame, schema: T.StructType, *,
+def json_fields(df: DataFrame, schema: "T.StructType | str", *,
                 field: str = DEFAULT_FIELD) -> DataFrame:
     """Parse JSON embedded in the message (from the first '{') and merge its
     keys into the event (filter_json_fields.js:13-24).  Schema is explicit —
-    plan-time typing instead of the reference's dynamic merge."""
+    plan-time typing instead of the reference's dynamic merge.  A DDL string
+    works too (the .conf front-end passes one)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
     payload = F.regexp_extract(F.col(field), r"(\{.*)", 1)
     parsed = F.from_json(payload, schema)
     out = df.withColumn("_j", parsed)

@@ -265,6 +265,40 @@ class TestEndToEnd421:
                  .toPandas()["value"]]
         assert [e["summary"] for e in other] == ["INFO:all good"]
 
+    def test_agent_chaining_file2file2file(self, spark, tmp_path):
+        """test_410_file2x2x2file.js shape: agent 1 parses raw lines and
+        writes NDJSON; agent 2 consumes that NDJSON (json_fields), routes,
+        and writes the final sink — two .conf runs chained through files."""
+        import json
+        (tmp_path / "input.txt").write_text(
+            "ERROR disk full\nINFO all good\nERROR cpu melted\n")
+        conf1 = """
+        input { file { path => input.txt } }
+        filter {
+          regex { regex => /^(\\w+) (.*)$/ fields => [lvl, rest] }
+        }
+        output { file { path => stage1.ndjson serializer => json_logstash } }
+        """
+        run_conf_files(spark, conf1, base_dir=str(tmp_path))
+        conf2 = """
+        input { file { path => stage1.ndjson } }
+        filter {
+          json_fields { schema => 'lvl string, rest string' }
+          compute_field { field => alert value => "ALERT #{rest}" }
+        }
+        output {
+          if [lvl] == "ERROR" {
+            file { path => final.ndjson serializer => json_logstash }
+          }
+        }
+        """
+        run_conf_files(spark, conf2, base_dir=str(tmp_path))
+        final = [json.loads(l) for l in
+                 spark.read.text(str(tmp_path / "final.ndjson"))
+                 .toPandas()["value"]]
+        assert sorted(e["alert"] for e in final) == \
+            ["ALERT cpu melted", "ALERT disk full"]
+
     def test_conditional_outputs_partition_rows(self, spark):
         """if/else-if/else over outputs = mutually-exclusive routed sinks."""
         conf = """
