@@ -35,7 +35,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<REGEX>/(?:\\/|[^/])*/)
   | (?P<COMMENT>\#[^\n]*)
   | (?P<WS>\s+)
-  | (?P<FLOAT>[0-9]+\.[0-9]+)
+  | (?P<FLOAT>[0-9]+\.[0-9]+(?![0-9.]))
   | (?P<SET>=>)
   | (?P<OP>==|!=|<=|>=|=~|!~|<|>)
   | (?P<PUNCT>[{}\[\](),])

@@ -87,6 +87,12 @@ class TestParser104:
         t = parse_conf('output { es { host => "éàlocalhost" } }')
         assert t["output"][0]["es"]["host"] == "éàlocalhost"
 
+    def test_version_string_stays_one_token(self):
+        # the reference lexer only lexes a float when a non-digit-non-dot
+        # follows; '3.5.1' is a single ID value
+        t = parse_conf("output { es { ver => 3.5.1 num => 3.5 n => 42 } }")
+        assert t["output"][0]["es"] == {"ver": "3.5.1", "num": 3.5, "n": 42}
+
     def test_if_else_if_else_tree(self):
         tree = parse_conf("""
         filter {
