@@ -65,14 +65,27 @@ def entry(spark: SparkSession) -> DataFrame:
     The input_hint-shaped token table derives deterministically from
     documents.parquet (portable tokenization + rendered syslog header);
     falls back to the synthetic generator if the testdata dir is absent.
+
+    The result carries the per-sink aggregates PLUS the lineage-resume
+    evidence columns from driving the same pipeline through the resumable
+    lineage log twice (run + resume, monitor_file.js:289-316 semantics):
+    `resume_buckets_skipped` == total buckets proves the second run skipped
+    all committed work, and `lineage_committed_rows` is the durable
+    per-bucket metrics sum.
     """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
     _ensure_shipped(spark)
     if os.path.exists(os.path.join(_SF_DIR, "documents.parquet")):
         df = flagship.token_table_from_documents(spark, _SF_DIR)
     else:
         df = datagen.token_sequences(spark, 5_000)
     out = flagship.run(spark, df)
-    return out["aggregates"]
+    work_dir = tempfile.mkdtemp(prefix="pastash_entry_lineage_")
+    summary = flagship.run_with_lineage(spark, df, work_dir, n_buckets=8)
+    return out["aggregates"].crossJoin(F.broadcast(summary))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

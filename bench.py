@@ -46,6 +46,9 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE",
                            os.path.join(REPO, ".bench_cache"))
 
+# r02's 25 headline queries, unchanged and in the same order (so the
+# shared-subset delta vs BENCH_r02 is directly comparable), plus the queries
+# newly promoted into the driver's gate window in round 3.
 HEADLINE = [
     "grep", "regex_extract", "split_explode", "broadcast_enrich",
     "routing_fanout", "per_sink_aggregates", "cacheloop_agg", "sessionize",
@@ -55,6 +58,9 @@ HEADLINE = [
     "pipeline_haproxy_parse", "app_janus_correlate", "topk_orders",
     "revenue_by_nation", "embedding_near_dup_lsh", "ann_ivf_topk",
     "winnow_fingerprints",
+    # new in r03's gate window
+    "pipeline_grok_parse", "condition_dsl_routing", "gated_mutation",
+    "esl_call_summary", "ndjson_serialize", "metrics_rollup",
 ]
 
 
@@ -109,18 +115,17 @@ def main() -> None:
         hi = max(hi_runs, key=lambda r: r["tok_per_sec"])
         return lo, hi, (hi["tok_per_sec"] / lo["tok_per_sec"]) / factor
 
-    # Adaptive best-of: noisy hypervisor windows depress a whole trial pair
-    # together or the high level alone; extra interleaved rounds recover the
+    # Fixed best-of-N: noisy hypervisor windows depress a whole trial pair
+    # together or the high level alone; interleaved rounds recover the
     # machine's capability number (never fabricate — every round is a full
-    # fresh-JVM measurement and only the max per level is kept).
-    rounds = 0
-    while True:
+    # fresh-JVM measurement and only the max per level is kept).  The round
+    # count is FIXED up front (not conditioned on the efficiency statistic
+    # crossing its target, which would bias the reported number upward).
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+    for _ in range(n_rounds):
         lo_runs.append(measure(SCALE_FROM, token_path, "parse"))
         hi_runs.append(measure(SCALE_TO, token_path, "parse"))
-        rounds += 1
-        lo, hi, efficiency = best_pair()
-        if rounds >= 2 and (efficiency >= 0.8 or rounds >= 4):
-            break
+    lo, hi, efficiency = best_pair()
 
     # --- payload-inclusive tokens/sec at the high level
     payload = measure(SCALE_TO, token_path, "payload")

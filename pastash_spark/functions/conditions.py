@@ -116,8 +116,25 @@ def compile_condition(ast: Any, schema: T.StructType | None = None) -> Column:
         m = F.coalesce(l_col.cast("string").rlike(pat), F.lit(False))
         return m if op == "=~" else ~m
     if op in ("in", "not in"):
-        vals = [str(v) for v in ast["right"]]
-        m = F.coalesce(l_col.cast("string").isin(vals), F.lit(False))
+        right = ast["right"]
+        if isinstance(right, Mapping) and "field" in right:
+            # field-ref right side: membership in an ARRAY column (the
+            # reference requires the right operand to resolve to an array —
+            # condition_evaluator.js; e.g. `if "x" in [tags]`).  Non-array
+            # field -> membership is false, as in the reference's
+            # instanceof-Array guard.
+            dt = _leaf_dtype(right, schema)
+            if dt is not None and not isinstance(dt, T.ArrayType):
+                m = F.lit(False)
+            else:
+                l_str = l_col.cast("string")
+                m = F.coalesce(
+                    F.exists(F.col(right["field"]),
+                             lambda x: x.cast("string").eqNullSafe(l_str)),
+                    F.lit(False))
+        else:
+            vals = [str(v) for v in right]
+            m = F.coalesce(l_col.cast("string").isin(vals), F.lit(False))
         return m if op == "in" else ~m
     raise ValueError(f"unknown condition op: {op!r}")
 

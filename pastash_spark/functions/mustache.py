@@ -23,6 +23,7 @@ import re
 from typing import Any
 
 _TAG = re.compile(r"\{\{\{\s*([\w.]+)\s*\}\}\}"      # {{{raw}}}
+                  r"|\{\{!(?s:.*?)\}\}"              # comment, ANY content
                   r"|\{\{([#^/&!]?)\s*([\w.]*)\s*\}\}")
 
 # mustache.js entity map
@@ -51,7 +52,7 @@ def parse_template(template: str) -> list[tuple]:
             stack[-1][1].append(("var", m.group(1), False))
             continue
         sigil, name = m.group(2), m.group(3)
-        if sigil == "!":
+        if sigil is None or sigil == "!":               # comment -> dropped
             continue
         if sigil in ("#", "^"):
             children: list[tuple] = []
@@ -113,6 +114,22 @@ def _falsy(v: Any) -> bool:
     return v is None or v is False or v == "" or v == [] or v == {} or v == 0
 
 
+def _js_str(v: Any) -> str:
+    """JS String(v) semantics for the value types Spark rows can carry:
+    Array.toString = elements comma-joined (so [1,2] -> '1,2', the
+    mustache.js rendering), plain objects -> '[object Object]', booleans
+    lowercase, integral floats without the trailing .0."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return ",".join("" if x is None else _js_str(x) for x in v)
+    if isinstance(v, dict):
+        return "[object Object]"
+    return str(v)
+
+
 def render(tokens: list[tuple], stack: list[Any]) -> str:
     out: list[str] = []
     for t in tokens:
@@ -122,11 +139,7 @@ def render(tokens: list[tuple], stack: list[Any]) -> str:
             v = _lookup(t[1], stack)
             if v is None:
                 continue
-            s = str(v)
-            if isinstance(v, bool):
-                s = "true" if v else "false"
-            elif isinstance(v, float) and v.is_integer():
-                s = str(int(v))
+            s = _js_str(v)
             out.append(html_escape(s) if t[2] else s)
         else:  # section
             _, name, inverted, children = t

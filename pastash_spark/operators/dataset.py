@@ -125,6 +125,80 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
         .select("id_a", "id_b", "jaccard")
 
 
+# --- hot-group cap with observable drop metrics -------------------------------
+
+_CAP_OBSERVATIONS: dict[str, "Observation"] = {}
+_CAP_FALLBACKS: dict[str, DataFrame] = {}
+
+
+def _cap_groups(keyed: DataFrame, keys: list[str], cap: int,
+                metric: str) -> DataFrame:
+    """Drop groups with more than ``cap`` members — OBSERVABLY.
+
+    A silent cap reads as "covered everything" when it didn't: at 100 TB an
+    oversized LSH bucket / posting list being discarded must surface as a
+    metric, not vanish.  The rows are annotated with their group size
+    (count-join, broadcast-friendly) and an ``Observation`` on the MAIN
+    stream — before the cap filter — records dropped rows/groups inside the
+    SAME query execution, zero extra jobs.  (Observing the count subtree
+    itself would lose the metrics: a CollectMetrics node executed inside a
+    BroadcastExchange never reaches the query's observed-metrics map.)
+    ``dropped_groups`` is recovered exactly as sum(1/group_size) over
+    dropped rows — each group contributes size * 1/size = 1.  Read the
+    stats after any action on the downstream DataFrame via
+    ``cap_drop_stats(metric)``; on a cluster they also land in the
+    QueryExecutionListener / SQL-UI observed-metrics channel, the standard
+    place ops dashboards scrape.
+    """
+    from pyspark.sql import Observation
+
+    counts = keyed.groupBy(*keys).agg(F.count("*").alias("_grp_n"))
+    annotated = keyed.join(counts, keys)
+    dropped = F.col("_grp_n") > cap
+    obs = Observation()
+    annotated = annotated.observe(
+        obs,
+        F.coalesce(F.sum(F.when(dropped, 1)), F.lit(0))
+         .alias("dropped_rows"),
+        F.round(F.coalesce(
+            F.sum(F.when(dropped, 1.0 / F.col("_grp_n"))), F.lit(0.0)))
+         .cast("long").alias("dropped_groups"),
+        F.round(F.coalesce(F.sum(1.0 / F.col("_grp_n")), F.lit(0.0)))
+         .cast("long").alias("total_groups"))
+    _CAP_OBSERVATIONS[metric] = obs
+    # Degenerate-input escape hatch: if the cap drops EVERYTHING, AQE's
+    # empty-relation propagation can prune the whole observed branch from
+    # the final plan and the metrics row comes back empty — exactly the run
+    # where the numbers matter most.  Keep a tiny standalone aggregation
+    # over the group counts; cap_drop_stats runs it (one extra small job,
+    # diagnostics path only) when the in-query observation is unavailable.
+    _CAP_FALLBACKS[metric] = counts.select(
+        F.coalesce(F.sum(F.when(dropped, F.col("_grp_n"))), F.lit(0))
+         .alias("dropped_rows"),
+        F.coalesce(F.sum(F.when(dropped, 1)), F.lit(0))
+         .alias("dropped_groups"),
+        F.count(F.lit(1)).alias("total_groups"))
+    return annotated.filter(~dropped).drop("_grp_n")
+
+
+def cap_drop_stats(metric: str) -> dict:
+    """Drop stats for a named cap after an action has run the query:
+    {'dropped_rows', 'dropped_groups', 'total_groups'}.  Zero-cost path:
+    the in-query Observation.  If that was lost (observed branch pruned by
+    AQE empty-relation propagation), recomputes from the stored group-count
+    plan as a separate small job.  Empty dict if the metric never
+    registered.  NOTE: the Observation path blocks until the observed query
+    finishes; call after the action."""
+    obs = _CAP_OBSERVATIONS.get(metric)
+    if obs is None:
+        return {}
+    try:
+        return dict(obs.get)
+    except Exception:
+        fb = _CAP_FALLBACKS.get(metric)
+        return fb.first().asDict() if fb is not None else {}
+
+
 # --- minhash + LSH -----------------------------------------------------------
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
@@ -213,11 +287,8 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
         )).alias("bb")) \
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket is not None:
-        counts = (banded.groupBy("band", "bucket")
-                  .agg(F.count("*").alias("_bucket_n")))
-        banded = (banded.join(counts.filter(F.col("_bucket_n") <= max_bucket),
-                              ["band", "bucket"])
-                  .drop("_bucket_n"))
+        banded = _cap_groups(banded, ["band", "bucket"], max_bucket,
+                             "minhash_lsh_max_bucket")
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
                    (F.col("a.bucket") == F.col("b.bucket")) &
@@ -353,10 +424,8 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
     blocks = sh.select("id", "sh", F.explode(F.array(*pair_structs)).alias("c")) \
         .select("id", "sh", "c.blk", "c.val")
     if max_bucket is not None:
-        counts = blocks.groupBy("blk", "val").agg(F.count("*").alias("_blk_n"))
-        blocks = (blocks.join(counts.filter(F.col("_blk_n") <= max_bucket),
-                              ["blk", "val"])
-                  .drop("_blk_n"))
+        blocks = _cap_groups(blocks, ["blk", "val"], max_bucket,
+                             "simhash_max_bucket")
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
                     (F.col("a.val") == F.col("b.val")) &
@@ -425,9 +494,7 @@ def winnow_containment_pairs(df: DataFrame, *, id_col: str = "doc_id",
     hot-bucket guards do."""
     fps = winnow_fingerprints(df, id_col=id_col, col=col, k=k, window=window)
     if max_posting is not None:
-        counts = fps.groupBy("fp").agg(F.count("*").alias("_n"))
-        fps = fps.join(counts.filter(F.col("_n") <= max_posting), "fp") \
-            .drop("_n")
+        fps = _cap_groups(fps, ["fp"], max_posting, "winnow_max_posting")
     a, b = fps.alias("a"), fps.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp")) &
                    (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -435,6 +502,111 @@ def winnow_containment_pairs(df: DataFrame, *, id_col: str = "doc_id",
                      F.col(f"b.{id_col}").alias("id_b"))
             .agg(F.count("*").alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+# --- training-sequence assembly ------------------------------------------------
+
+def portable_bucket(col, n_buckets: int):
+    """Engine-portable bucket id: md5-prefix hash mod n (identical in Spark
+    and DuckDB, unlike xxhash64) — the cross-engine stand-in for a hash
+    repartitioning key."""
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(n_buckets)).cast("int")
+
+
+def pack_sequences(df: DataFrame, *, seq_len: int, n_buckets: int = 64,
+                   id_col: str = "doc_id",
+                   tokens_col: str = "tokens") -> DataFrame:
+    """Concat-and-chunk training-sequence packing: within each hash bucket,
+    concatenate token arrays in id order and slice into fixed ``seq_len``
+    sequences (the standard pre-training data layout); the tail remainder
+    of each bucket is dropped (its length is < seq_len by construction).
+
+    Scale shape: ONE doc-level shuffle (groupBy bucket) — never a
+    token-level explode+shuffle, which would move every token id through
+    the exchange; inside a bucket the packing is a single numpy
+    concatenate+reshape per Arrow group.  Buckets are md5-portable so a SQL
+    oracle replays the exact grouping; determinism comes from the
+    (bucket, id-order) spec, independent of partitioning.  Pick n_buckets
+    >> executors for balance; per-bucket memory = bucket token mass.
+
+    Output: (bucket, seq_no, seq array<int>) with seq_no ordered by token
+    offset within the bucket.
+    """
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).alias("_toks"),
+        portable_bucket(id_col, n_buckets).alias("bucket"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        flat = np.concatenate([np.asarray(t, dtype=np.int64)
+                               for t in pdf["_toks"]]) \
+            if len(pdf) else np.empty(0, dtype=np.int64)
+        k = len(flat) // seq_len
+        if k == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int32"),
+                                 "seq_no": pd.Series([], dtype="int64"),
+                                 "seq": pd.Series([], dtype=object)})
+        chunks = flat[:k * seq_len].reshape(k, seq_len)
+        return pd.DataFrame({
+            "bucket": np.full(k, pdf["bucket"].iloc[0], dtype="int32"),
+            "seq_no": np.arange(k, dtype=np.int64),
+            "seq": list(chunks)})
+
+    return (bucketed.groupBy("bucket")
+            .applyInPandas(pack, "bucket int, seq_no long, seq array<bigint>"))
+
+
+def split_dataset(df: DataFrame, *, id_col: str = "doc_id",
+                  train_pct: int = 90, valid_pct: int = 5) -> DataFrame:
+    """Deterministic train/valid/test assignment by content-independent id
+    hash (md5-portable): reproducible across runs, engines, and data
+    re-partitioning — never random(), which re-rolls per run and can't be
+    replayed by an external oracle.  Map-only; no shuffle."""
+    slot = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 17, 15),
+               16, 10).cast("long"),
+        F.lit(100))
+    split = (F.when(slot < train_pct, "train")
+             .when(slot < train_pct + valid_pct, "valid")
+             .otherwise("test"))
+    return df.withColumn("split", split)
+
+
+def ngram_repetition(df: DataFrame, *, col: str = "text", n: int = 2,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document top n-gram repetition counts — the Gopher-style
+    'repetitive document' quality signal (fraction of n-grams taken by the
+    most frequent n-gram).  Emitted as INTEGERS (top_count, total) so the
+    downstream keep-rule is integer arithmetic, portable across engines
+    with no float ties.
+
+    Scale shape: one Arrow pass per batch, documents independent — NO
+    shuffle (a groupBy(doc, gram) formulation would shuffle every n-gram
+    occurrence).  Keep rule example: keep iff top_count * 5 < total
+    (top 2-gram under 20%)."""
+    k = n
+
+    @F.pandas_udf("struct<top_count: long, total: long>")
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        tops, totals = [], []
+        for t in texts:
+            ws = (t or "").split(" ")
+            grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+            totals.append(len(grams))
+            if not grams:
+                tops.append(0)
+                continue
+            counts: dict[str, int] = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            tops.append(max(counts.values()))
+        return pd.DataFrame({"top_count": tops, "total": totals})
+
+    out = df.withColumn("_rep", rep(F.col(col)))
+    return out.select(id_col, F.col("_rep.top_count").alias("top_count"),
+                      F.col("_rep.total").alias("total"))
 
 
 # --- corpus statistics --------------------------------------------------------

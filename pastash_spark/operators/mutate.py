@@ -30,9 +30,15 @@ def gsub(df: DataFrame, field: str, from_regex: str, to: str) -> DataFrame:
 def mutate_hash(df: DataFrame, field: str, *, algo: str = "sha256") -> DataFrame:
     """Replace field with its hash (filter_mutate_hash.js:24-29).
 
-    The reference uses murmur3-128; ``algo='murmur3_128'`` gives bit parity
-    with the canonical MurmurHash3 x64_128 (Arrow pandas UDF with per-batch
-    memo — murmur is not a JVM builtin).  The default stays sha256
+    The reference's filter calls npm murmur3 ``hash128().hex()`` — but that
+    module is neither in its package.json nor vendored, so which 128-bit
+    variant it would produce is unverifiable (pure-JS ports usually
+    implement x86_128).  We therefore expose BOTH canonical variants, each
+    pinned bit-exact against the published smhasher verification constants
+    (tests/test_operators.py): ``algo='murmur3_128'`` = MurmurHash3 x64_128
+    (the conventional server-side dedup choice), ``algo='murmur3_x86_128'``
+    = MurmurHash3 x86_128.  Both run as Arrow pandas UDFs with a per-batch
+    memo (murmur 128 is not a JVM builtin).  The default stays sha256
     (JVM-native, whole-stage codegen) because on the hot path a codegen hash
     beats any Python round-trip; ``algo='xxhash64'`` is the fast 64-bit
     JVM path.  The semantic contract downstream dedup/routing relies on is
@@ -43,8 +49,10 @@ def mutate_hash(df: DataFrame, field: str, *, algo: str = "sha256") -> DataFrame
         h = F.md5(c)
     elif algo == "xxhash64":
         h = F.xxhash64(c).cast("string")
-    elif algo == "murmur3_128":
-        from pastash_spark.functions.murmur3 import murmur3_128_hex
+    elif algo in ("murmur3_128", "murmur3_x86_128"):
+        from pastash_spark.functions import murmur3 as _mm
+        hex_fn = (_mm.murmur3_128_hex if algo == "murmur3_128"
+                  else _mm.murmur3_x86_128_hex)
 
         @F.pandas_udf("string")
         def mm3(s: pd.Series) -> pd.Series:
@@ -54,7 +62,7 @@ def mutate_hash(df: DataFrame, field: str, *, algo: str = "sha256") -> DataFrame
                     return None
                 got = memo.get(v)
                 if got is None:
-                    got = memo[v] = murmur3_128_hex(v)
+                    got = memo[v] = hex_fn(v)
                 return got
             return s.map(one)
 
@@ -171,7 +179,11 @@ def mustache(df: DataFrame, target: str, template: str) -> DataFrame:
                 dt = dt[p].dataType
             else:
                 return True
-        return not isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType))
+        # floats: JS string form differs from Spark's cast; arrays/maps/
+        # structs: JS renders '1,2' / '[object Object]', not Spark's
+        # '[1, 2]' — all take the UDF path where _js_str applies.
+        return not isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType,
+                                   T.ArrayType, T.MapType, T.StructType))
 
     if MU.only_simple_vars(toks) and all(
             _dtype_ok(t[1]) for t in toks if t[0] == "var"):

@@ -52,7 +52,18 @@ def fan_out_write(df: DataFrame, base_path: str, *,
     derived from the written partition directories — NOT from a pre-write
     ``distinct().collect()``, which would cost a second full scan of the
     routed data before the real job.
+
+    Sink names are URL-unescaped back to the original route values (Spark
+    partition dirs escape e.g. spaces as %20), and null routes
+    (``__HIVE_DEFAULT_PARTITION__``) are skipped — `route()` always fills a
+    default, so a null route never occurs on our paths.  NOTE: with
+    ``mode='append'`` the return value covers ALL sink directories present
+    under ``base_path`` after the write (this call's plus earlier appends) —
+    directory listing cannot attribute dirs to jobs; pass a fresh base_path
+    per job if you need exactly-this-write's sinks.
     """
+    from urllib.parse import unquote
+
     (df.write.mode(mode)
        .partitionBy(target, *partition_cols)
        .format(fmt)
@@ -65,7 +76,10 @@ def fan_out_write(df: DataFrame, base_path: str, *,
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(f"{target}="):
-            sinks.append(name.split("=", 1)[1])
+            raw = name.split("=", 1)[1]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                continue
+            sinks.append(unquote(raw))
     return sorted(sinks)
 
 

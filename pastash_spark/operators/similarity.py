@@ -100,7 +100,8 @@ def random_projection_buckets(df: DataFrame, *, vec_col: str = "embedding",
 
 def exact_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.5,
-                       n_blocks: int = 16) -> DataFrame:
+                       n_blocks: int = 16,
+                       max_rows: int | None = 2_000_000) -> DataFrame:
     """EXACT all-pairs cosine threshold join, distributed as a block-grid
     theta-join (the 1-bucket theta-join shape from Okcan & Riedewald,
     SIGMOD'11): rows hash into B blocks; each unordered block pair (i,j)
@@ -112,12 +113,29 @@ def exact_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
     B ~ sqrt(desired tasks).  Exactness: every unordered row pair lands in
     exactly one grid cell (diagonal cells deduped by id order).
 
-    For a *near-dup* threshold (>=0.9) prefer lsh_candidate_pairs + this as
+    For a *near-dup* threshold (>=0.9) prefer lsh_near_dup_pairs + this as
     the verifier on candidates; the exact grid is for low thresholds where
     guaranteed-recall blocking does not exist.
+
+    ``max_rows`` is a fail-fast scale guard: an exact low-threshold join is
+    O(n^2) pair evaluations BY DEFINITION — the grid spreads the work
+    evenly but cannot shrink it, and past ~10^6-10^7 vectors the job is
+    compute-unrunnable no matter the cluster.  Rather than silently
+    launching that job, raise with the LSH path recommendation.  Pass
+    ``max_rows=None`` for an explicit opt-out (e.g. verifier over a
+    pre-filtered candidate subset).
     """
     B = n_blocks
     spark = df.sparkSession
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"exact_cosine_pairs: input has {n} rows > max_rows="
+                f"{max_rows}; an exact all-pairs cosine at this size is "
+                f"O(n^2) = {n * n:.1e} pair evaluations.  Use "
+                "lsh_near_dup_pairs (sign-LSH candidates + exact verify) "
+                "for near-dup thresholds, or pass max_rows=None to force.")
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"),
                      F.pmod(F.xxhash64(F.col(id_col)), F.lit(B))

@@ -90,6 +90,60 @@ def run(spark: SparkSession, df: DataFrame | None = None,
     return build(df, lookup, mode=mode)
 
 
+def run_with_lineage(spark: SparkSession, df: DataFrame, work_dir: str,
+                     *, n_buckets: int = 8,
+                     buckets_per_job: int = 4) -> DataFrame:
+    """Drive the flagship pipeline THROUGH the resumable lineage log and
+    return a one-row resume-evidence summary.
+
+    This is the end-to-end analogue of the reference's file-position
+    database (monitor_file.js:289-316 persists byte offsets so a restarted
+    agent resumes where it left off; bin/pastash:210-234 wires --db_file):
+    run 1 processes every bucket and commits per-bucket lineage rows after
+    each idempotent sink write; run 2 over the SAME lineage table finds all
+    buckets done and skips everything.  The summary row carries both runs'
+    counters so callers (and the driver smoke check via entry()) see the
+    resume semantics actually exercised, not just declared.
+    """
+    import os
+
+    from pastash_spark.sources.lineage import (
+        BUCKET_COL, LineageLog, run_resumable, with_bucket)
+
+    lookup = datagen.source_lookup(spark)
+    bucketed = with_bucket(df, key="doc_id", n_buckets=n_buckets)
+    log = LineageLog(spark, os.path.join(work_dir, "lineage"))
+    sink_path = os.path.join(work_dir, "sinks")
+
+    def process_and_write(subset: DataFrame, buckets) -> dict:
+        routed = build(subset, lookup)["routed"]
+        (routed.write.mode("overwrite")
+         .partitionBy(BUCKET_COL, R.ROUTE_COL)
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(sink_path))
+        per_bucket = (spark.read.parquet(sink_path)
+                      .filter(F.col(BUCKET_COL).isin(list(buckets)))
+                      .groupBy(BUCKET_COL)
+                      .agg(F.count("*").alias("r"),
+                           F.sum("n_tok").alias("t")).collect())
+        return {r[BUCKET_COL]: (r.r, int(r.t)) for r in per_bucket}
+
+    first = run_resumable(bucketed, log, process_and_write,
+                          n_buckets=n_buckets,
+                          buckets_per_job=buckets_per_job)
+    resumed = run_resumable(bucketed, log, process_and_write,
+                            n_buckets=n_buckets,
+                            buckets_per_job=buckets_per_job)
+    committed = log.metrics().filter(F.col("status") == "done")
+    lineage_rows = committed.agg(F.sum("rows")).first()[0] or 0
+    return spark.createDataFrame(
+        [(first["processed"], first["rows"], first["tokens"],
+          int(lineage_rows), resumed["skipped"], resumed["processed"])],
+        "lineage_buckets_processed int, lineage_rows long, "
+        "lineage_tokens long, lineage_committed_rows long, "
+        "resume_buckets_skipped int, resume_buckets_processed int")
+
+
 def token_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the flagship input (input_hint shape + rendered `raw` header)
     from the driver's documents.parquet — everything a deterministic pure

@@ -250,11 +250,20 @@ class _Parser:
             return self.value()
         return self.next()[1]
 
-    def member_list(self) -> list:
-        """Right side of in/not-in: always a literal list — `[c]` here is a
-        one-element array, never a field ref."""
+    def member_list(self) -> Any:
+        """Right side of in/not-in.  `[ID]` is a FIELD REF (the reference
+        requires the right side to resolve to an array at eval time —
+        condition_evaluator.js membership over e.g. the `tags` array;
+        test_104 'multi if' pins right={field:'tags'}).  A bracketed list
+        with commas / multiple values is a literal array; a bare scalar is a
+        one-element literal list."""
         k, v = self.peek()
         if (k, v) == ("PUNCT", "["):
+            if self.peek(1)[0] == "ID" and self.peek(2) == ("PUNCT", "]"):
+                self.next()
+                name = self.next()[1]
+                self.next()
+                return {"field": name}
             got = self.value()
             return got if isinstance(got, list) else [got]
         return [self.next()[1]]
@@ -395,14 +404,34 @@ def run_conf_files(spark, text: str, *, base_dir: str | None = None) -> list[str
             else os.path.join(base_dir, p)
 
     specs = conf_to_specs(text)
-    file_inputs = [s for s in specs["input"] if s["op"] == "file"]
-    if not file_inputs:
-        raise ValueError("run_conf_files: config has no file input")
     df = None
-    for s in file_inputs:
-        part = read_lines(spark, resolve(s["path"]), type_value=s.get("type"))
+    for s in specs["input"]:
+        if s["op"] == "file":
+            part = read_lines(spark, resolve(s["path"]),
+                              type_value=s.get("type"))
+        elif s["op"] in ("tcp", "udp"):
+            # transport inputs run on the LANDING-ZONE model (SURVEY §2.4):
+            # a thin collector terminates the socket and deposits raw lines
+            # into a directory; the engine reads that zone.  The spec's
+            # `landing_zone` names the directory; the listen `port` is
+            # stamped as {tcp,udp}_port like input_tcp.js:41-48 does on
+            # each event.
+            lz = s.get("landing_zone")
+            if not lz:
+                raise ValueError(
+                    f"run_conf_files: {s['op']} input needs landing_zone=, "
+                    "the deposit directory of the socket collector")
+            part = read_lines(spark, resolve(lz), type_value=s.get("type"))
+            if "port" in s:
+                part = part.withColumn(f"{s['op']}_port",
+                                       F.lit(int(s["port"])))
+        else:
+            raise ValueError(f"run_conf_files: unsupported input "
+                             f"{s['op']!r} (file/tcp/udp)")
         df = part if df is None else df.unionByName(
             part, allowMissingColumns=True)
+    if df is None:
+        raise ValueError("run_conf_files: config has no input")
 
     out_df = builder.build(df, specs["filter"])
     written: list[str] = []

@@ -88,6 +88,94 @@ def _exists(path: str) -> bool:
         f.endswith(".parquet") for f in os.listdir(path))
 
 
+FILE_TAIL_SCHEMA = T.StructType([
+    T.StructField("marker", T.StringType(), False),
+    T.StructField("rows_read", T.LongType(), False),
+    T.StructField("path", T.StringType(), True),
+    T.StructField("run_id", T.StringType(), True),
+    T.StructField("committed_at", T.TimestampType(), True),
+])
+
+
+class FileTailLog:
+    """File-tail resume state — the batch analogue of the reference's
+    file-position database (monitor_file.js:289-316 persists byte offsets
+    per file so a restarted agent resumes mid-file and survives logrotate).
+
+    Files are identified by CONTENT, not path: ``marker`` = md5 of the
+    file's first line.  That is the batch equivalent of inode tracking —
+    a logrotate RENAME moves the path but keeps the marker, so already-read
+    lines are not re-ingested under the new name; a COPYTRUNCATE (or any
+    new generation at the old path) starts a fresh first line, hence a
+    fresh marker read from offset 0.  Appends to a known file keep the
+    marker and advance ``rows_read``.  (Limitation, documented: two files
+    whose first lines are byte-identical share a marker; real log lines
+    carry timestamps/sequence numbers, making this vanishingly rare.)
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def state(self) -> DataFrame:
+        """Latest rows_read per marker (small: O(#files ever seen))."""
+        if not _exists(self.path):
+            return self.spark.createDataFrame([], FILE_TAIL_SCHEMA) \
+                .select("marker", "rows_read")
+        return (self.spark.read.schema(FILE_TAIL_SCHEMA).parquet(self.path)
+                .groupBy("marker").agg(F.max("rows_read").alias("rows_read")))
+
+    def commit(self, entries: list[tuple[str, int, str]],
+               run_id: str | None = None) -> None:
+        """entries = [(marker, rows_read_total, path)] — commit AFTER the
+        sink write, like run_resumable."""
+        if not entries:
+            return
+        rid = run_id or uuid.uuid4().hex[:12]
+        rows = [(m, int(n), p, rid, None) for m, n, p in entries]
+        (self.spark.createDataFrame(rows, FILE_TAIL_SCHEMA)
+         .withColumn("committed_at", F.current_timestamp())
+         .coalesce(1).write.mode("append").parquet(self.path))
+
+
+def tail_new_lines(spark: SparkSession, pattern: str,
+                   log: FileTailLog) -> tuple[DataFrame, list[tuple[str, int, str]]]:
+    """One resumable ingest pass over a file glob: returns (new_lines,
+    commit_entries).  ``new_lines`` has (message, path, line_no) for every
+    line not yet read under the file's marker; write your sink from it,
+    THEN call ``log.commit(commit_entries)`` — crash between the two
+    re-reads at most one pass (idempotent sink required, same contract as
+    run_resumable).
+
+    Per-file line numbers derive from monotonically_increasing_id, which is
+    ordered within a partition; the text reader emits each file's lines in
+    offset order, and files under maxPartitionBytes (128 MB default — any
+    sanely rotated log) map to single ordered splits.
+    """
+    from pyspark.sql import Window
+
+    lines = (spark.read.text(pattern)
+             .select(F.col("value").alias("message"),
+                     F.input_file_name().alias("path"),
+                     F.monotonically_increasing_id().alias("_mid")))
+    w = Window.partitionBy("path").orderBy("_mid")
+    lines = lines.withColumn("line_no", F.row_number().over(w)).drop("_mid")
+    first = Window.partitionBy("path").orderBy("line_no")
+    lines = lines.withColumn(
+        "marker", F.first(F.md5("message")).over(first))
+    state = F.broadcast(log.state().withColumnRenamed("rows_read", "_done"))
+    fresh = (lines.join(state, "marker", "left")
+             .filter(F.col("line_no") > F.coalesce(F.col("_done"), F.lit(0)))
+             .drop("_done"))
+    # commit entries: per marker, the new TOTAL line count (tiny collect:
+    # one row per input file)
+    totals = (lines.groupBy("marker")
+              .agg(F.max("line_no").alias("n"), F.max("path").alias("p"))
+              .collect())
+    entries = [(r.marker, r.n, r.p) for r in totals]
+    return fresh.select("message", "path", "line_no", "marker"), entries
+
+
 def run_resumable(
     df_bucketed: DataFrame,
     lineage: LineageLog,

@@ -179,6 +179,68 @@ def test_exact_cosine_pairs_equals_brute_force(spark):
     assert got == want and (3, 10) in got
 
 
+def test_pack_sequences_concat_and_chunk(spark):
+    """Packing = per-bucket id-ordered concat sliced into seq_len chunks,
+    tail dropped; result independent of input partitioning."""
+    rows = [(i, list(range(i * 10, i * 10 + 7))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<bigint>")
+    out = D.pack_sequences(df, seq_len=16, n_buckets=2)
+    got = {(r.bucket, r.seq_no): list(r.seq) for r in out.collect()}
+    # python replay
+    import hashlib
+    want = {}
+    by_bucket: dict[int, list[int]] = {}
+    for i, toks in rows:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 2
+        by_bucket.setdefault(b, []).append(i)
+    for b, ids in by_bucket.items():
+        flat = [t for i in sorted(ids) for t in range(i * 10, i * 10 + 7)]
+        for s in range(len(flat) // 16):
+            want[(b, s)] = flat[s * 16:(s + 1) * 16]
+    assert got == want
+    got_repart = {(r.bucket, r.seq_no): list(r.seq)
+                  for r in D.pack_sequences(df.repartition(7), seq_len=16,
+                                            n_buckets=2).collect()}
+    assert got_repart == got
+
+
+def test_split_dataset_deterministic_proportions(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = D.split_dataset(df)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] - 1800) < 100          # ~90%
+    # determinism: same assignment on re-run
+    again = {r.doc_id: r.split for r in D.split_dataset(df).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert again == first
+
+
+def test_ngram_repetition_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),      # grams: ab ba ab ba ab -> top 3 / 5
+         (2, "w x y z"),          # 3 distinct grams     -> top 1 / 3
+         (3, "solo")],            # no grams             -> 0 / 0
+        "doc_id long, text string")
+    got = {r.doc_id: (r.top_count, r.total)
+           for r in D.ngram_repetition(df, n=2).collect()}
+    assert got == {1: (3, 5), 2: (1, 3), 3: (0, 0)}
+
+
+def test_exact_cosine_pairs_size_guard(spark):
+    """The exact all-pairs form fails FAST above max_rows, pointing at the
+    LSH path — never silently launches an O(n^2) job (VERDICT r02 #4)."""
+    import pytest
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2)).alias("embedding"))
+    with pytest.raises(ValueError, match="lsh_near_dup_pairs"):
+        S.exact_cosine_pairs(emb, threshold=0.5, max_rows=50)
+    # opt-out still works
+    S.exact_cosine_pairs(emb, threshold=1.1, max_rows=None).count()
+
+
 def test_ann_brute_force(spark):
     rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
             (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])]

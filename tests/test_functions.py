@@ -112,6 +112,36 @@ def test_condition_missing_field_comparisons_false(spark):
     assert df.select(compile_condition(ast).alias("c")).first().c is False
 
 
+def test_condition_in_array_field_ref(spark):
+    """`"x" in [tags]` = membership in the tags ARRAY column (string-compare
+    per element), mirroring condition_evaluator.js's array right-side."""
+    df = spark.createDataFrame(
+        [(["a", "x"], 1), (["a", "b"], 2), (None, 3), ([], 4)],
+        "tags array<string>, id int")
+    ast = {"op": "in", "left": "x", "right": {"field": "tags"}}
+    got = {r.id: r.c for r in
+           df.select("id", compile_condition(ast, df.schema).alias("c")).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
+    neg = {"op": "not in", "left": "x", "right": {"field": "tags"}}
+    gotn = {r.id: r.c for r in
+            df.select("id", compile_condition(neg, df.schema).alias("c")).collect()}
+    assert gotn == {1: False, 2: True, 3: True, 4: True}
+    # numeric left side string-compares against string elements
+    ast_num = {"op": "in", "left": {"field": "id"}, "right": {"field": "tags"}}
+    df2 = spark.createDataFrame([(["1", "z"], 1), (["2"], 3)],
+                                "tags array<string>, id int")
+    got2 = [r.c for r in
+            df2.select(compile_condition(ast_num, df2.schema).alias("c")).collect()]
+    assert got2 == [True, False]
+
+
+def test_condition_in_non_array_field_is_false(spark):
+    # the reference's instanceof-Array guard: a scalar right side -> false
+    df = spark.createDataFrame([("xy",)], "tags string")
+    ast = {"op": "in", "left": "x", "right": {"field": "tags"}}
+    assert df.select(compile_condition(ast, df.schema).alias("c")).first().c is False
+
+
 # --- grok compiler ----------------------------------------------------------
 
 def test_grok_expand_simple():

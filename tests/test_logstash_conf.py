@@ -125,13 +125,29 @@ class TestParser104:
         tree = parse_conf("""
         filter {
           if [t] in [a, b] { noop {} }
-          if [t] not in [c] { noop {} }
+          if [t] not in ["c"] { noop {} }
         }
         """)
         c1 = tree["filter"][0]["__if__"]["ifs"][0]["cond"]
         c2 = tree["filter"][1]["__if__"]["ifs"][0]["cond"]
         assert c1 == {"op": "in", "left": {"field": "t"}, "right": ["a", "b"]}
         assert c2 == {"op": "not in", "left": {"field": "t"}, "right": ["c"]}
+
+    def test_in_field_ref_right_side(self):
+        # `[tags]` on the right of in/not-in is a FIELD REF, not the literal
+        # one-element list ["tags"] (condition_evaluator.js requires the
+        # right side to resolve to an array; test_104 'multi if' shape).
+        tree = parse_conf("""
+        filter {
+          if "x" in [tags] { noop {} }
+          if [t] not in [tags] { noop {} }
+        }
+        """)
+        c1 = tree["filter"][0]["__if__"]["ifs"][0]["cond"]
+        c2 = tree["filter"][1]["__if__"]["ifs"][0]["cond"]
+        assert c1 == {"op": "in", "left": "x", "right": {"field": "tags"}}
+        assert c2 == {"op": "not in", "left": {"field": "t"},
+                      "right": {"field": "tags"}}
 
 
 class TestEndToEnd421:
@@ -304,6 +320,32 @@ class TestEndToEnd421:
                  .toPandas()["value"]]
         assert sorted(e["alert"] for e in final) == \
             ["ALERT cpu melted", "ALERT disk full"]
+
+    def test_net2file_landing_zone(self, spark, tmp_path):
+        """test_405_net2file.js shape: a tcp input (landing-zone model —
+        the socket collector deposits raw lines into a directory) with the
+        agent's add_host/add_timestamp/add_version base filters; the
+        json_logstash output carries @version/host/message/type/tcp_port,
+        the reference's checked record."""
+        import json
+        lz = tmp_path / "lz"
+        lz.mkdir()
+        (lz / "conn1.txt").write_text("toto\n")
+        conf = """
+        input { tcp { port => 17874 type => "2" landing_zone => lz } }
+        filter { add_host {} add_timestamp {} add_version {} }
+        output { file { path => output.ndjson serializer => json_logstash } }
+        """
+        written = run_conf_files(spark, conf, base_dir=str(tmp_path))
+        assert len(written) == 1
+        recs = [json.loads(l) for l in
+                spark.read.text(str(tmp_path / "output.ndjson"))
+                .toPandas()["value"]]
+        assert len(recs) == 1
+        r = recs[0]
+        assert r["message"] == "toto" and r["type"] == "2"
+        assert r["tcp_port"] == 17874 and r["@version"] == "1"
+        assert r["host"] and r["@timestamp"]
 
     def test_conditional_outputs_partition_rows(self, spark):
         """if/else-if/else over outputs = mutually-exclusive routed sinks."""

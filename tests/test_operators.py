@@ -169,6 +169,20 @@ def test_mutate_hash_murmur3_128_bit_parity(spark):
     assert vals == ["029bbd41b3a7d8cb191dae486a901e5b", None]
 
 
+def test_murmur3_smhasher_verification_both_variants(spark):
+    """Both 128-bit variants bit-exact vs the published smhasher
+    VerificationTest constants (MurmurHash3_x64_128=0x6384BA69,
+    MurmurHash3_x86_128=0xB3ECE62A) — the algorithm-level oracle, since the
+    reference's npm murmur3 module is unresolvable in its own tree."""
+    from pastash_spark.functions.murmur3 import smhasher_verification
+    assert smhasher_verification("x64") == 0x6384BA69
+    assert smhasher_verification("x86") == 0xB3ECE62A
+    df = spark.createDataFrame([("hello",)], "f string")
+    v64 = M.mutate_hash(df, "f", algo="murmur3_128").first().f
+    v86 = M.mutate_hash(df, "f", algo="murmur3_x86_128").first().f
+    assert v64 != v86 and len(v86) == 32 and v86 == v86.lower()
+
+
 def test_eval_expr_and_compute_date(spark):
     df = spark.createDataFrame([(21,)], "x int")
     assert M.eval_expr(df, "y", "x * 2 + 1").first().y == 43
@@ -207,6 +221,22 @@ def test_mustache_sections(spark):
 def test_mustache_dotted_and_missing(spark):
     df = spark.createDataFrame([(("deep",),)], "a struct<b string>")
     assert M.mustache(df, "o", "<{{a.b}}><{{nope}}>").first().o == "<deep><>"
+
+
+def test_mustache_freeform_comments_dropped(spark):
+    """mustache.js drops comments with ARBITRARY content ('{{! some note }}',
+    punctuation, newlines) — not just word-character bodies."""
+    df = spark.createDataFrame([("v",)], "x string")
+    tpl = "a{{! some note, with punct! }}b{{!\n multi\n line }}c{{x}}"
+    assert M.mustache(df, "o", tpl).first().o == "abcv"
+
+
+def test_mustache_array_var_renders_js_style(spark):
+    """A variable holding an array renders JS Array.toString ('1,2'), not
+    Spark's '[1, 2]' — forced onto the UDF path by _dtype_ok."""
+    df = spark.createDataFrame([([1, 2, 3], ["a", None, "b"])],
+                               "nums array<int>, strs array<string>")
+    assert M.mustache(df, "o", "{{nums}}|{{strs}}").first().o == "1,2,3|a,,b"
 
 
 def test_apply_when_gating(spark):
@@ -367,3 +397,12 @@ def test_fan_out_write_and_bypass(spark, tmp_path):
                                 collect=False)
     both = R.bypass_union(df, agg)
     assert both.count() == 21
+
+
+def test_fan_out_write_unescapes_sink_names(spark, tmp_path):
+    """Partition-dir escaping must not leak into returned sink names
+    (spaces become %20 on disk), and null routes are skipped."""
+    df = spark.createDataFrame([(1, "sink a"), (2, "b:c"), (3, None)],
+                               "v int, _route string")
+    sinks = R.fan_out_write(df, str(tmp_path / "out"), mode="overwrite")
+    assert sinks == ["b:c", "sink a"]

@@ -188,6 +188,59 @@ def test_resumable_fanout_conserves_rows(spark, tmp_path):
     assert spark.read.parquet(out_path).count() == 1200
 
 
+def test_file_tail_resume_logrotate(spark, tmp_path):
+    """test_500_real_life.js analogue: a writer appends 1500 lines across
+    logrotate generations while the (batch) agent repeatedly ingests; every
+    line must arrive EXACTLY once.  Covers all three monitor_file cases:
+    append to a live file (byte-offset resume), rename rotation (inode ~
+    content marker keeps already-read lines dead under the new path), and
+    a fresh generation at the old path (read from 0)."""
+    import itertools
+
+    from pastash_spark.sources.lineage import FileTailLog, tail_new_lines
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    live = logdir / "output.txt"
+    log = FileTailLog(spark, str(tmp_path / "tail_state"))
+    seen: list[str] = []
+    counter = itertools.count()
+
+    def emit(n):
+        with open(live, "a") as f:
+            for _ in range(n):
+                f.write(f"line {next(counter)}\n")
+
+    def ingest():
+        fresh, entries = tail_new_lines(spark, str(logdir / "*.txt*"), log)
+        rows = [r.message for r in fresh.select("message").collect()]
+        seen.extend(rows)      # "sink write", then commit (run_resumable contract)
+        log.commit(entries)
+        return len(rows)
+
+    # generation 1: two partial ingests of the live file (offset resume)
+    emit(300)
+    assert ingest() == 300
+    emit(200)
+    assert ingest() == 200                     # only the appended delta
+    # rename rotation (std logrotate): same content, new path
+    live.rename(logdir / "output.txt.1")
+    emit(400)                                  # fresh generation at old path
+    assert ingest() == 400                     # rotated file NOT re-read
+    # wait_delay_after_renaming case: writer appends to the ROTATED file
+    with open(logdir / "output.txt.1", "a") as f:
+        for _ in range(100):
+            f.write(f"line {next(counter)}\n")
+    assert ingest() == 100                     # delta under the new name
+    # copytruncate rotation: old path truncated, new first line
+    live.write_text("")
+    emit(500)
+    assert ingest() == 500
+    # steady state: nothing new
+    assert ingest() == 0
+    assert len(seen) == 1500 and len(set(seen)) == 1500
+
+
 def test_flagship_from_documents_parquet(spark):
     """entry() contract: the flagship input derives from the driver's
     documents.parquet; the grok parse round-trips every rendered field and
@@ -212,3 +265,32 @@ def test_flagship_from_documents_parquet(spark):
     assert bad == 0
     sinks = {r.sink for r in out["sink_counts"].collect()}
     assert sinks == {"errors", "quality", "code", "bulk"}
+
+
+def test_run_with_lineage_resume_evidence(spark, tmp_path):
+    """run_with_lineage drives the flagship pipeline through the lineage
+    log twice: first run processes all buckets, second skips them all —
+    the monitor_file.js resume semantics, end-to-end through entry()'s
+    path."""
+    df = datagen.token_sequences(spark, 600)
+    summary = flagship.run_with_lineage(spark, df, str(tmp_path / "w"),
+                                        n_buckets=4, buckets_per_job=2)
+    row = summary.first()
+    assert row.lineage_buckets_processed == 4
+    assert row.lineage_rows == 600
+    assert row.lineage_committed_rows == 600
+    assert row.resume_buckets_skipped == 4
+    assert row.resume_buckets_processed == 0
+
+
+def test_entry_contract(spark):
+    """entry(spark) returns >=1 row, carries the per-sink aggregate columns
+    AND the lineage-resume evidence columns."""
+    import __spark_entry__ as e
+    out = e.entry(spark)
+    rows = out.collect()
+    assert len(rows) > 0
+    cols = set(out.columns)
+    assert {"sink", "source", "count", "sum_tokens"} <= cols
+    assert {"resume_buckets_skipped", "lineage_committed_rows"} <= cols
+    assert all(r.resume_buckets_skipped == 8 for r in rows)
