@@ -3,13 +3,23 @@
 Reimplements the semantics of the reference's condition evaluator
 (/root/reference/lib/lib/condition_evaluator.js:63-133) including its quirks:
 
-  * ``==`` / ``!=`` compare **as strings** (force_string, :66)
-  * ``>ᐸ>=ᐸ=`` coerce both sides JS-``parseInt``-style — leading integer
-    prefix parsed, otherwise NaN -> comparison false (:49-61)
-  * ``=~`` / ``!~`` regex match on the string value
-  * ``in`` / ``not in`` membership with string compare
+  * ``==`` / ``!=`` compare **as strings** (force_string, :66); a missing
+    field force_strings to '' (:42-47), so ``missing == ""`` is TRUE
+  * ``> >= < <=`` coerce both sides JS-``parseInt``-style — leading integer
+    prefix parsed; an unparseable/missing side coerces to **0**, not to
+    "comparison false": force_number returns the boolean ``false`` on NaN
+    (:49-61) and JS comparisons treat false as 0, so ``5 > 'abc'`` is TRUE
+    and ``'x' >= 'y'`` is TRUE (0 >= 0)
+  * ``=~`` / ``!~`` regex match on the force_string'd value ('' when
+    missing — a ``a*`` pattern matches a missing field)
+  * ``in`` / ``not in`` membership with string compare; right side may be
+    a literal list or an ARRAY field ref
   * ``!`` JS truthiness negation; ``and or xor nand`` boolean connectives
-  * ``miss`` true when the field is absent (here: NULL)
+  * ``miss`` true when the field is absent (here: NULL).  Deliberate
+    repair: the reference's `miss` branch (:127-129) indexes
+    ``data[cond.left]`` with the parsed ``{field:..}`` OBJECT, which is
+    always undefined — dead code no reference test exercises; we implement
+    the documented intent (field missing) instead.
 
 AST shape (ours — the reference builds an equivalent tree from its jison
 grammar, /root/reference/lib/logstash_config.jison:89-110):
@@ -36,8 +46,18 @@ _PARSEINT_RE = r"^\s*([+-]?[0-9]+)"
 
 
 def _parseint(c: Column) -> Column:
+    """JS parseInt + the evaluator's force_number quirk: NaN (unparseable
+    or missing) becomes the boolean false, which JS comparison operators
+    coerce to 0 (condition_evaluator.js:49-61) — so the column is 0, never
+    NULL."""
     s = F.regexp_extract(c.cast("string"), _PARSEINT_RE, 1)
-    return F.when(s == "", F.lit(None).cast("long")).otherwise(s.cast("long"))
+    return F.when(s.isNull() | (s == ""), F.lit(0).cast("long")) \
+        .otherwise(s.cast("long"))
+
+
+def _force_string(c: Column) -> Column:
+    """force_string (condition_evaluator.js:42-47): undefined -> ''."""
+    return F.coalesce(c.cast("string"), F.lit(""))
 
 
 def truthy(c: Column, dtype: T.DataType | None = None) -> Column:
@@ -52,6 +72,13 @@ def truthy(c: Column, dtype: T.DataType | None = None) -> Column:
     # string-typed event fields); numeric 0 in an untyped context is "0"
     # which JS would call truthy-as-string anyway once serialized
     return c.isNotNull() & (c.cast("string") != "")
+
+
+def _js_str(v: Any) -> str:
+    """Literal -> its JS toString (booleans lowercase)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def _is_leaf(ast: Any) -> bool:
@@ -102,18 +129,19 @@ def compile_condition(ast: Any, schema: T.StructType | None = None) -> Column:
     l_col, r_col = _leaf_or_sub(ast["left"], schema), _leaf_or_sub(ast["right"], schema)
 
     if op in ("==", "!="):
-        # force_string compare (condition_evaluator.js:66)
-        eq = l_col.cast("string").eqNullSafe(r_col.cast("string"))
+        # force_string compare (condition_evaluator.js:66); missing -> ''
+        eq = _force_string(l_col) == _force_string(r_col)
         return eq if op == "==" else ~eq
     if op in (">", ">=", "<", "<="):
+        # never NULL: _parseint coerces NaN/missing to 0, like the reference
         li, ri = _parseint(l_col), _parseint(r_col)
-        cmp = {">": li > ri, ">=": li >= ri, "<": li < ri, "<=": li <= ri}[op]
-        return F.coalesce(cmp, F.lit(False))  # NaN comparisons -> false
+        return {">": li > ri, ">=": li >= ri,
+                "<": li < ri, "<=": li <= ri}[op]
     if op in ("=~", "!~"):
         pat = ast["right"]
         if not isinstance(pat, str):
             raise ValueError("regex condition needs a literal pattern")
-        m = F.coalesce(l_col.cast("string").rlike(pat), F.lit(False))
+        m = _force_string(l_col).rlike(pat)
         return m if op == "=~" else ~m
     if op in ("in", "not in"):
         right = ast["right"]
@@ -127,14 +155,14 @@ def compile_condition(ast: Any, schema: T.StructType | None = None) -> Column:
             if dt is not None and not isinstance(dt, T.ArrayType):
                 m = F.lit(False)
             else:
-                l_str = l_col.cast("string")
+                l_str = _force_string(l_col)
                 m = F.coalesce(
                     F.exists(F.col(right["field"]),
-                             lambda x: x.cast("string").eqNullSafe(l_str)),
+                             lambda x: x.cast("string") == l_str),
                     F.lit(False))
         else:
-            vals = [str(v) for v in right]
-            m = F.coalesce(l_col.cast("string").isin(vals), F.lit(False))
+            vals = [_js_str(v) for v in right]
+            m = _force_string(l_col).isin(vals)
         return m if op == "in" else ~m
     raise ValueError(f"unknown condition op: {op!r}")
 

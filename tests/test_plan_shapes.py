@@ -172,3 +172,40 @@ def test_global_topk_is_take_ordered_not_global_window(spark, tmp_path):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_pack_sequences_single_doc_level_shuffle(spark):
+    """Sequence packing must shuffle DOC rows once (groupBy bucket) —
+    never explode tokens through an exchange (token-level shuffle would
+    move every token id of a 100 TB corpus)."""
+    from pastash_spark.operators.dataset import pack_sequences
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.sequence(F.lit(0), F.lit(50)).cast("array<bigint>").alias("tokens"))
+    plan = _plan(pack_sequences(df, seq_len=16, n_buckets=4))
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan            # no explode anywhere
+    assert "FlatMapGroupsInPandas" in plan   # the per-bucket Arrow pack
+
+
+def test_ngram_repetition_is_shuffle_free(spark):
+    """The repetition signal is per-document — one Arrow projection pass,
+    zero exchanges (the relational groupBy(doc, gram) formulation would
+    shuffle every n-gram occurrence)."""
+    from pastash_spark.operators.dataset import ngram_repetition
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c a b").alias("text"))
+    plan = _plan(ngram_repetition(df))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_split_dataset_is_map_only(spark, token_parquet):
+    from pastash_spark.operators.dataset import split_dataset
+    df = spark.read.parquet(token_parquet)
+    plan = _plan(split_dataset(df).select("doc_id", "split"))
+    assert "Exchange" not in plan
+    # and the wide columns are pruned away
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "tokens" not in read_schema

@@ -84,13 +84,15 @@ def _py_parseint(s) -> int | None:
 ), min_size=1, max_size=60), st.integers(-1000, 1000))
 @settings(max_examples=6, deadline=None)
 def test_gt_comparison_matches_js_parseint_oracle(spark, values, rhs):
+    """NaN coerces to 0 in the reference's comparisons (force_number
+    returns `false` -> JS treats it as 0), so `"abc" > -3` is TRUE."""
     ast = {"op": ">", "left": {"field": "v"}, "right": rhs}
     df = spark.createDataFrame([(v,) for v in values], "v string")
     got = [r.c for r in df.select(compile_condition(ast).alias("c")).collect()]
     want = []
     for v in values:
         lp = _py_parseint(v)
-        want.append(bool(lp is not None and lp > rhs))
+        want.append(bool((lp if lp is not None else 0) > rhs))
     assert got == want
 
 
@@ -155,22 +157,27 @@ def _py_cond(ast, row) -> bool:
         l, r = _py_cond(ast["left"], row), _py_cond(ast["right"], row)
         return {"and": l and r, "or": l or r, "xor": l != r,
                 "nand": not (l and r)}[op]
+    def force_str(v):
+        # condition_evaluator.js:42-47 — undefined force_strings to ''
+        s = as_str(v)
+        return "" if s is None else s
+
     l, r = val(ast["left"]), val(ast["right"])
     if op in ("==", "!="):
-        eq = as_str(l) == as_str(r)
+        eq = force_str(l) == force_str(r)
         return eq if op == "==" else not eq
     if op in (">", ">=", "<", "<="):
-        li, ri = _py_parseint(l) if l is not None else None, \
-            _py_parseint(r) if r is not None else None
-        if li is None or ri is None:
-            return False
-        return {"": 0, ">": li > ri, ">=": li >= ri,
+        # force_number NaN -> false -> JS comparisons coerce to 0
+        li = _py_parseint(l) if l is not None else None
+        ri = _py_parseint(r) if r is not None else None
+        li, ri = (0 if li is None else li), (0 if ri is None else ri)
+        return {">": li > ri, ">=": li >= ri,
                 "<": li < ri, "<=": li <= ri}[op]
     if op in ("=~", "!~"):
-        m = l is not None and re.search(ast["right"], as_str(l)) is not None
+        m = re.search(ast["right"], force_str(l)) is not None
         return m if op == "=~" else not m
     if op in ("in", "not in"):
-        m = l is not None and as_str(l) in [str(v) for v in ast["right"]]
+        m = force_str(l) in [as_str(v) for v in ast["right"]]
         return m if op == "in" else not m
     raise AssertionError(op)
 
