@@ -343,3 +343,56 @@ def json_schema_serialize(df: DataFrame, fields: Sequence[str],
     """Schema-enforced JSON output (filter_json_schema.js:20-47): explicit
     field list == the JSON schema, enforced at plan time."""
     return df.withColumn(target, F.to_json(F.struct(*[F.col(f) for f in fields])))
+
+
+def xml_fields(df: DataFrame, schema: "T.StructType | str", *,
+               field: str = DEFAULT_FIELD, target: str | None = None,
+               xpaths: dict[str, str] | None = None) -> DataFrame:
+    """XML event parsing (plugins/filters/xml/filter_xml.js:36-43: the
+    reference converts the whole event with xml-js).  Spark-first: with a
+    ``schema`` the document parses via native ``from_xml`` (JVM, columnar)
+    into ``target`` (or merged top-level columns); alternatively/additionally
+    ``xpaths`` extracts named scalars with the codegen `xpath_string`
+    builtin — the schemaless path for picking a few leaves out of deep
+    documents without materializing the tree."""
+    out = df
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        parsed = F.from_xml(F.col(field), schema)
+        if target:
+            out = out.withColumn(target, parsed)
+        else:
+            out = out.withColumn("_x", parsed)
+            for f in schema.fieldNames():
+                out = out.withColumn(f, F.col(f"_x.{f}"))
+            out = out.drop("_x")
+    for name, xp in (xpaths or {}).items():
+        out = out.withColumn(name, F.xpath_string(F.col(field), F.lit(xp)))
+    return out
+
+
+def rfc3339(df: DataFrame, *, source: str, mode: int = 0,
+            target: str = "rfc3339") -> DataFrame:
+    """RFC3339 <-> integer-epoch conversion
+    (plugins/filters/rfc3339/filter_rfc3339.js:22-41; modes: 0 = rfc3339
+    text -> epoch NANOS, 1 = nanos -> rfc3339 text, 2 = micros -> rfc3339
+    text).  Spark timestamps carry microseconds, so mode 0 scales the
+    micro-precision epoch; sub-micro digits in the input are beyond the
+    engine's timestamp resolution (as they are beyond JS Date's millis in
+    most consumers) and resolve to 0.
+    """
+    c = F.col(source)
+    if mode == 0:
+        micros = F.unix_micros(F.to_timestamp(c))
+        return df.withColumn(target, (micros * 1000).cast("long"))
+    if mode == 1:
+        # decimal division: long/1000 via double loses micros past 2^53 ns
+        micros = F.floor(c.cast("decimal(38,0)") / 1000).cast("long")
+        ts = F.timestamp_micros(micros)
+    elif mode == 2:
+        ts = F.timestamp_micros(c.cast("long"))
+    else:
+        raise ValueError(f"rfc3339: unknown mode {mode}")
+    return df.withColumn(
+        target, F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))

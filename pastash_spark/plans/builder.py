@@ -70,6 +70,11 @@ _REGISTRY: dict[str, StageFn] = {
     "cacheloop": C.cacheloop_aggregate,
     "broadcast_lookup": E.broadcast_lookup,
     "reverse_dns": E.reverse_dns,
+    "xml": P.xml_fields,
+    "rfc3339": P.rfc3339,
+    # conf-surface plugin names that alias operators above
+    "mutate_replace": M.gsub,
+    "noop": lambda df: df,
 }
 
 

@@ -1544,6 +1544,54 @@ def q_ngram_repetition(spark, sf_dir):
         (F.col("top_count") * 5 < F.col("total")).alias("keep"))
 
 
+@_q("xml_extract", """
+SELECT event_id,
+       event_id AS xid,
+       event_type AS xtype,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS xk,
+       event_type AS xp_type
+FROM events
+""")
+def q_xml_extract(spark, sf_dir):
+    """XML filter (plugins/filters/xml): render a doc from base columns,
+    parse it back with native from_xml + an xpath_string leaf — the oracle
+    derives the same outputs analytically from the base columns, so a
+    parse bug cannot cancel out (the pipeline_grok oracle pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    xml = F.concat(F.lit("<ev><id>"), F.col("event_id").cast("string"),
+                   F.lit("</id><type>"), F.col("event_type"),
+                   F.lit("</type><k>"), k.cast("string"), F.lit("</k></ev>"))
+    df = ev.select("event_id", xml.alias("doc"))
+    out = P.xml_fields(df, "id bigint, type string, k bigint", field="doc",
+                       xpaths={"xp_type": "/ev/type"})
+    return out.select("event_id", F.col("id").alias("xid"),
+                      F.col("type").alias("xtype"), F.col("k").alias("xk"),
+                      "xp_type")
+
+
+@_q("rfc3339_convert", """
+SELECT event_id,
+       us * 1000 AS ns,
+       strftime(make_timestamp(us), '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS txt
+FROM (SELECT event_id,
+             1700000000000000 + event_id * 1001 AS us
+      FROM events)
+""")
+def q_rfc3339(spark, sf_dir):
+    """rfc3339 filter (plugins/filters/rfc3339): mode 0 (text -> epoch
+    nanos) and mode 1 (nanos -> text) round-trip on deterministic
+    microsecond timestamps; the oracle recomputes both ends."""
+    ev = _t(spark, sf_dir, "events")
+    us = (F.lit(1700000000000000) + F.col("event_id") * 1001)
+    txt_in = F.date_format(F.timestamp_micros(us),
+                           "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    df = ev.select("event_id", txt_in.alias("t_in"))
+    df = P.rfc3339(df, source="t_in", mode=0, target="ns")
+    df = P.rfc3339(df, source="ns", mode=1, target="txt")
+    return df.select("event_id", "ns", "txt")
+
+
 # =========================================================================
 # Driver gate window.
 #
@@ -1592,6 +1640,7 @@ _GATE_WINDOW = [
 _GATE_TAIL = [
     # round-3 additions (full oracles; window is already at capacity)
     "pack_sequences", "dataset_split", "ngram_repetition_filter",
+    "xml_extract", "rfc3339_convert",
     # redundant / demoted variants, still oracle-checked locally
     "broadcast_enrich", "sessionize", "forward_fill_correlation",
     "routing_fanout", "statsd_sink", "token_count", "dedup_exact_keep",

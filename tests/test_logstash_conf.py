@@ -321,6 +321,20 @@ class TestEndToEnd421:
         assert sorted(e["alert"] for e in final) == \
             ["ALERT cpu melted", "ALERT disk full"]
 
+    def test_mutate_replace_and_noop_plugins(self, spark):
+        """conf plugin names `mutate_replace` (param `from`) and `noop`
+        resolve through the builder registry."""
+        conf = """
+        filter {
+          noop {}
+          mutate_replace { field => message from => "a+" to => "X" }
+        }
+        output { file { path => out } }
+        """
+        df = msgs(spark, "aaa bca")
+        out, _ = build_conf(df, conf)
+        assert out.first().message == "X bcX"
+
     def test_net2file_landing_zone(self, spark, tmp_path):
         """test_405_net2file.js shape: a tcp input (landing-zone model —
         the socket collector deposits raw lines into a directory) with the

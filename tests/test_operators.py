@@ -239,6 +239,32 @@ def test_mustache_array_var_renders_js_style(spark):
     assert M.mustache(df, "o", "{{nums}}|{{strs}}").first().o == "1,2,3|a,,b"
 
 
+def test_xml_fields_schema_and_xpath(spark):
+    df = spark.createDataFrame(
+        [('<a><b>7</b><c>x</c><d><e>deep</e></d></a>',)], "message string")
+    out = P.xml_fields(df, "b int, c string", xpaths={"e": "/a/d/e"})
+    r = out.first()
+    assert (r.b, r.c, r.e) == (7, "x", "deep")
+    # target mode keeps the parsed struct whole
+    out2 = P.xml_fields(df, "b int", target="parsed")
+    assert out2.first().parsed.b == 7
+
+
+def test_rfc3339_modes_roundtrip(spark):
+    df = spark.createDataFrame([("2023-11-14T22:13:20.016016Z",)],
+                               "t string")
+    ns = P.rfc3339(df, source="t", mode=0, target="ns").first().ns
+    assert ns == 1700000000016016000
+    back = P.rfc3339(
+        spark.createDataFrame([(ns,)], "ns long"),
+        source="ns", mode=1, target="txt").first().txt
+    assert back == "2023-11-14T22:13:20.016016Z"
+    from_us = P.rfc3339(
+        spark.createDataFrame([(ns // 1000,)], "us long"),
+        source="us", mode=2, target="txt").first().txt
+    assert from_us == back
+
+
 def test_apply_when_gating(spark):
     df = spark.createDataFrame([("nginx", "a"), ("apache", "b")],
                                "type string, message string")
