@@ -45,6 +45,39 @@ def range_lookup(df: DataFrame, ranges: DataFrame, value_col: str,
     return df.join(F.broadcast(ranges), on=cond, how="left")
 
 
+def range_lookup_bucketed(df: DataFrame, ranges: DataFrame, value_col: str,
+                          lo_col: str = "range_start",
+                          hi_col: str = "range_end", *,
+                          bucket_bits: int = 16,
+                          broadcast: bool = True,
+                          how: str = "left") -> DataFrame:
+    """Equi-join formulation of the range join — the scale path when the
+    range table outgrows a nested-loop probe (a real maxmind block file is
+    3-4M ranges; BNLJ would evaluate facts x ranges).
+
+    Each range explodes to the fixed-width prefix buckets it covers
+    (bucket = value >> bucket_bits, the /16-style trick for IPv4-as-int);
+    facts compute their own bucket, and the join becomes a plain HASH
+    equi-join on the bucket with BETWEEN as a residual filter — never a
+    BroadcastNestedLoopJoin (pinned by test_plan_shapes).  Non-overlapping
+    ranges (the geoip block contract) give <= 1 match per fact, so row
+    multiplicity is preserved.  ``broadcast=False`` falls back to a shuffle
+    hash join for expanded range tables too big to broadcast.
+    """
+    v = F.col(value_col).cast("long")
+    r = ranges.withColumn(
+        "_bkt", F.explode(F.sequence(
+            F.shiftright(F.col(lo_col).cast("long"), bucket_bits),
+            F.shiftright(F.col(hi_col).cast("long"), bucket_bits))))
+    if broadcast:
+        r = F.broadcast(r)
+    fact = df.withColumn("_bkt", F.shiftright(v, bucket_bits))
+    cond = ((fact["_bkt"] == r["_bkt"]) &
+            (v >= r[lo_col]) & (v <= r[hi_col]))
+    return fact.join(r, on=cond, how=how) \
+        .drop(fact["_bkt"]).drop(r["_bkt"])
+
+
 PRIVATE_IP_RE = r"^(10\.|192\.168\.|172\.(1[6-9]|2[0-9]|3[01])\.|127\.0\.0\.1)"
 
 

@@ -500,15 +500,17 @@ SELECT event_id,
 FROM events
 """)
 def q_geoip_range(spark, sf_dir):
-    """The maxmind block-file pattern: value BETWEEN range bounds against a
-    broadcast range table; gaps stay NULL."""
-    from pastash_spark.operators.enrich import range_lookup
+    """The maxmind block-file pattern, in its SCALE shape: ranges explode
+    to prefix buckets and the lookup is a hash EQUI-join on the bucket with
+    BETWEEN residual (range_lookup_bucketed) — never a nested-loop probe of
+    every fact against every range; gaps stay NULL."""
+    from pastash_spark.operators.enrich import range_lookup_bucketed
     ev = _t(spark, sf_dir, "events").withColumn(
         "ip_int", F.col("event_id") % 100000)
     ranges = spark.createDataFrame(
         [(i * 10000, i * 10000 + 4999, f"net-{i}") for i in range(10)],
         "range_start long, range_end long, geo_name string")
-    out = range_lookup(ev, ranges, "ip_int")
+    out = range_lookup_bucketed(ev, ranges, "ip_int", bucket_bits=12)
     return out.select("event_id", "geo_name")
 
 

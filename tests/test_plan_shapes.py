@@ -201,6 +201,27 @@ def test_ngram_repetition_is_shuffle_free(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_range_lookup_bucketed_is_hash_join_not_nlj(spark):
+    """The prefix-bucketed range join must plan as a HASH equi-join on the
+    bucket (BETWEEN as residual) — a BroadcastNestedLoopJoin would probe
+    every fact against every range (3-4M ranges in a real geo table)."""
+    from pastash_spark.operators.enrich import range_lookup_bucketed
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    ranges = spark.createDataFrame(
+        [(i * 100, i * 100 + 49, f"r{i}") for i in range(10)],
+        "range_start long, range_end long, name string")
+    out = range_lookup_bucketed(df, ranges, "v", bucket_bits=6)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # correctness of the equi-join formulation vs the direct BETWEEN
+    got = {r.v: r.name for r in out.collect()}
+    want = {v: (f"r{v // 100}" if v % 100 < 50 else None)
+            for v in range(1000)}
+    assert got == want
+
+
 def test_split_dataset_is_map_only(spark, token_parquet):
     from pastash_spark.operators.dataset import split_dataset
     df = spark.read.parquet(token_parquet)
