@@ -1546,6 +1546,28 @@ def q_ngram_repetition(spark, sf_dir):
         (F.col("top_count") * 5 < F.col("total")).alias("keep"))
 
 
+@_q("statsd_time_windows", """
+SELECT event_type AS metric_key,
+       CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_s,
+       COUNT(*) AS counter,
+       ROUND(SUM(value), 4) AS timer_sum
+FROM events GROUP BY 1, 2
+""")
+def q_statsd_time_windows(spark, sf_dir):
+    """Batch twin of streaming.statsd_window_stream: tumbling event-time
+    window metrics (the reference's statsd flush_interval as an epoch-
+    aligned window aggregate).  Window start serialized as epoch seconds —
+    timestamps hash-portably as BIGINT."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+                       F.col("event_type").alias("metric_key"))
+            .agg(F.count("*").alias("counter"),
+                 F.round(F.sum("value"), 4).alias("timer_sum"))
+            .select("metric_key",
+                    _epoch(F.col("w.start")).cast("long").alias("window_s"),
+                    "counter", "timer_sum"))
+
+
 @_q("xml_extract", """
 SELECT event_id,
        event_id AS xid,
@@ -1642,7 +1664,7 @@ _GATE_WINDOW = [
 _GATE_TAIL = [
     # round-3 additions (full oracles; window is already at capacity)
     "pack_sequences", "dataset_split", "ngram_repetition_filter",
-    "xml_extract", "rfc3339_convert",
+    "xml_extract", "rfc3339_convert", "statsd_time_windows",
     # redundant / demoted variants, still oracle-checked locally
     "broadcast_enrich", "sessionize", "forward_fill_correlation",
     "routing_fanout", "statsd_sink", "token_count", "dedup_exact_keep",

@@ -42,6 +42,36 @@ def cacheloop_stream(df: DataFrame, *, key: str = "correlation_id",
                     "count", *[f"avg_{f}" for f in avg_fields]))
 
 
+def statsd_window_stream(df: DataFrame, *, key: str, ts: str = "ts",
+                         window: str = "10 seconds",
+                         watermark: str = "10 seconds",
+                         value_field: str | None = None) -> DataFrame:
+    """Streaming statsd flush (output_statsd.js:22-40 + the reference's
+    arrival-time flush_interval): counter/timer metrics per (metric key,
+    tumbling EVENT-TIME window), append mode — a window emits exactly once,
+    when the watermark passes its end, and rows arriving later than the
+    watermark are DROPPED (the reference has no event-time semantics at
+    all; this is the strictly-stronger Spark formulation SURVEY §2.6
+    promises).
+
+    Output: (metric_key, window_start, window_end, counter[, timer_*]).
+    """
+    aggs = [F.count("*").alias("counter")]
+    if value_field is not None:
+        v = F.col(value_field).cast("double")
+        aggs += [F.sum(v).alias("timer_sum"), F.avg(v).alias("timer_avg"),
+                 F.max(v).alias("timer_max")]
+    return (df.withWatermark(ts, watermark)
+            .groupBy(F.window(F.col(ts), window).alias("w"),
+                     F.col(key).alias("metric_key"))
+            .agg(*aggs)
+            .select("metric_key",
+                    F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    *(["counter"] if value_field is None else
+                      ["counter", "timer_sum", "timer_avg", "timer_max"])))
+
+
 def lru_state_stream(df: DataFrame, *, key: str, action: str = "action",
                      value: str = "value", ttl_ms: int = 60_000) -> DataFrame:
     """Streaming lru set/get with TTL (filter_lru.js:27-43 +

@@ -14,7 +14,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from pastash_spark.streaming.state import (
-    cacheloop_stream, lru_state_stream, multiline_stream)
+    cacheloop_stream, lru_state_stream, multiline_stream,
+    statsd_window_stream)
 
 
 def _wait_rows(spark, table: str, n: int, timeout: float = 90.0) -> None:
@@ -67,6 +68,49 @@ def test_cacheloop_stream_sessions(spark, tmp_path):
     k1b = rows[("k1", "2024-01-01 00:10:00")]
     assert k1b["count"] == 1 and k1b.avg_metric == 30.0
     assert rows[("k2", "2024-01-01 00:00:01")]["count"] == 1
+
+
+def test_statsd_window_stream_drops_late_data(spark, tmp_path):
+    """Tumbling event-time windows + watermark: a window emits once when
+    the watermark passes its end, and a row later than the watermark is
+    DROPPED — the late-data contract SURVEY §2.6 claims."""
+    import os
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "ts_s string, k string, v double"
+
+    def emit(rows, mode="append"):
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode(mode).json(src)
+
+    emit([("2024-01-01 00:00:01", "a", 1.0),
+          ("2024-01-01 00:00:02", "a", 3.0),
+          ("2024-01-01 00:00:03", "b", 5.0)], mode="overwrite")
+    stream = (spark.readStream.schema(schema).json(src)
+              .withColumn("ts", F.to_timestamp("ts_s")))
+    out = statsd_window_stream(stream, key="k", ts="ts",
+                               window="10 seconds", watermark="10 seconds",
+                               value_field="v")
+    q = (out.writeStream.format("memory").queryName("statsd_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # push the watermark past window [0,10): wm = 00:00:35 - 10s
+        emit([("2024-01-01 00:00:35", "a", 7.0)])
+        q.processAllAvailable()
+        # LATE row for window [0,10) — behind the watermark, must be dropped
+        emit([("2024-01-01 00:00:04", "a", 100.0),
+              ("2024-01-01 00:01:30", "z", 0.0)])   # pusher finalizes [30,40)
+        q.processAllAvailable()
+        _wait_rows(spark, "statsd_out", 3)
+    finally:
+        q.stop()
+    rows = {(r.metric_key, str(r.window_start)): r
+            for r in spark.table("statsd_out").collect()}
+    wa = rows[("a", "2024-01-01 00:00:00")]
+    assert wa.counter == 2 and wa.timer_sum == 4.0   # late 100.0 NOT counted
+    assert rows[("b", "2024-01-01 00:00:00")].counter == 1
+    assert rows[("a", "2024-01-01 00:00:30")].timer_max == 7.0
 
 
 def test_lru_state_stream_set_get(spark, tmp_path):
