@@ -47,6 +47,7 @@ def regex_extract(
     date_field: str | None = None,
     date_format: str | None = None,
     tag_on_failure: str | None = None,
+    regex_flags: str | None = None,
     mode: str = "auto",
 ) -> DataFrame:
     """Regex/grok capture extraction with reference coercion semantics.
@@ -90,6 +91,15 @@ def regex_extract(
         out_fields = list(fields)
         java_re, py_re = regex, regex
         group_of = {f: i + 1 for i, f in enumerate(out_fields)}
+
+    if regex_flags:
+        # JS RegExp flags (filter_regex.js passes them to new RegExp):
+        # i/m/s have inline equivalents in both engines; g is meaningless
+        # for a single-extract (the reference extracts once per event too).
+        inline = "".join(ch for ch in regex_flags if ch in "ims")
+        if inline:
+            java_re = f"(?{inline})" + java_re
+            py_re = f"(?{inline})" + py_re
 
     # Java character classes (\w \b \s) are ASCII-only by default while
     # Python's are Unicode — the two modes must agree on accented text

@@ -294,7 +294,25 @@ _PARAM_RENAMES: dict[str, dict[str, str]] = {
     "regex": {"builtin_regex": "builtin"},
     "compute_field": {"value": "template", "field": "field"},
     "mutate_replace": {"from": "from_regex"},
+    "syslog_pri": {"priority_field": "field"},
 }
+# conf defaults mirroring the reference filters' default_values
+_PARAM_DEFAULTS: dict[str, dict[str, Any]] = {
+    # filter_syslog_pri.js default priority_field = 'syslog_priority'
+    "syslog_pri": {"field": "syslog_priority"},
+    # batch multiline groups per input file in arrival order (the
+    # reference's implicit single-stream order)
+    "multiline": {"key": ["path"], "order": "line_no"},
+}
+# params that are comma-joined strings on the conf surface but lists here
+_LIST_PARAMS: dict[str, tuple[str, ...]] = {
+    "regex": ("fields", "numerical_fields"),
+}
+
+
+def _inline_flags(pattern: str, flags: str) -> str:
+    inline = "".join(ch for ch in flags if ch in "ims")
+    return f"(?{inline}){pattern}" if inline else pattern
 # standard per-plugin params that become follow-up stages
 _FOLLOWUPS = ("add_tags", "remove_tags", "add_fields", "remove_fields")
 
@@ -317,6 +335,19 @@ def _plugin_to_spec(name: str, params: dict) -> list[dict]:
     spec = {"op": name}
     for k, v in params.items():
         spec[renames.get(k, k)] = v
+    for k, v in _PARAM_DEFAULTS.get(name, {}).items():
+        spec.setdefault(k, v)
+    for k in _LIST_PARAMS.get(name, ()):
+        if isinstance(spec.get(k), str):
+            spec[k] = [p.strip() for p in spec[k].split(",")]
+    if name == "multiline":
+        # max_delay is an arrival-time flush with no batch meaning (the
+        # streaming twin honours it via its state timeout)
+        spec.pop("max_delay", None)
+        flags = spec.pop("regex_flags", None)
+        if flags and "start_line_regex" in spec:
+            spec["start_line_regex"] = _inline_flags(
+                spec["start_line_regex"], flags)
     return [spec] + followups
 
 
@@ -404,11 +435,26 @@ def run_conf_files(spark, text: str, *, base_dir: str | None = None) -> list[str
             else os.path.join(base_dir, p)
 
     specs = conf_to_specs(text)
+
+    def _needs_line_no(stages) -> bool:
+        for st in stages:
+            if st.get("op") == "multiline" and st.get("order") == "line_no":
+                return True
+            for sub in (st.get("then"), st.get("else")):
+                if sub and _needs_line_no(sub):
+                    return True
+            for e in st.get("elif", []):
+                if _needs_line_no(e["then"]):
+                    return True
+        return False
+
+    line_no = _needs_line_no(specs["filter"])
     df = None
     for s in specs["input"]:
         if s["op"] == "file":
             part = read_lines(spark, resolve(s["path"]),
-                              type_value=s.get("type"))
+                              type_value=s.get("type"),
+                              with_line_no=line_no)
         elif s["op"] in ("tcp", "udp"):
             # transport inputs run on the LANDING-ZONE model (SURVEY §2.4):
             # a thin collector terminates the socket and deposits raw lines
@@ -421,7 +467,8 @@ def run_conf_files(spark, text: str, *, base_dir: str | None = None) -> list[str
                 raise ValueError(
                     f"run_conf_files: {s['op']} input needs landing_zone=, "
                     "the deposit directory of the socket collector")
-            part = read_lines(spark, resolve(lz), type_value=s.get("type"))
+            part = read_lines(spark, resolve(lz), type_value=s.get("type"),
+                              with_line_no=line_no)
             if "port" in s:
                 part = part.withColumn(f"{s['op']}_port",
                                        F.lit(int(s["port"])))

@@ -29,13 +29,26 @@ def _stamp(df: DataFrame, *, type_value: str | None = None,
     return df
 
 
-def read_lines(spark: SparkSession, path: str, **stamp_kw) -> DataFrame:
+def read_lines(spark: SparkSession, path: str, *,
+               with_line_no: bool = False, **stamp_kw) -> DataFrame:
     """Text-file input, one event per line with the raw line as `message`
     (input_file.js + 'raw' unserializer, base_input.js:59-66).  Adds `path`
-    like the reference's file input does."""
+    like the reference's file input does.
+
+    ``with_line_no=True`` adds `line_no` (1-based per-file arrival order —
+    the reference's implicit event order, which order-sensitive filters
+    like multiline key on).  Opt-in because it costs a per-path window;
+    per-file order derives from monotonically_increasing_id, ordered within
+    a partition (the text reader emits each file's lines in offset order).
+    """
     df = (spark.read.text(path)
           .withColumnRenamed("value", "message")
           .withColumn("path", F.input_file_name()))
+    if with_line_no:
+        from pyspark.sql import Window
+        df = df.withColumn("_mid", F.monotonically_increasing_id())
+        w = Window.partitionBy("path").orderBy("_mid")
+        df = df.withColumn("line_no", F.row_number().over(w)).drop("_mid")
     return _stamp(df, **stamp_kw)
 
 

@@ -361,6 +361,60 @@ class TestEndToEnd421:
         assert r["tcp_port"] == 17874 and r["@version"] == "1"
         assert r["host"] and r["@timestamp"]
 
+    def test_ingate_recipe_shape(self, spark, tmp_path):
+        """The shipped ingate recipe (plugins/filters/app_ingate/
+        ingate_udp_syslog.conf) run e2e through the landing-zone model:
+        udp input, type-gated builtin `syslogingate_all` regex with
+        comma-joined fields + regex_flags, syslog_pri with the reference's
+        default priority_field, and file-order multiline reassembly
+        (max_delay dropped — arrival-time-only).  app_ingate's SIP domain
+        parse maps to noop; the start-line regex is adapted to the
+        post-regex message (the ingate regex consumes the program token)."""
+        import json
+        lz = tmp_path / "lz"
+        lz.mkdir()
+        lines = [
+            "<134>Jan  5 04:05:06 gw sipfw: send F1 via UDP connection 3:",
+            "<134>Jan  5 04:05:06 gw sipfw: INVITE sip:bob@x.com SIP/2.0",
+            "<134>Jan  5 04:05:06 gw sipfw: Call-ID: abc123",
+            "<134>Jan  5 04:05:07 gw sipfw: recv F2 via UDP connection 3:",
+            "<134>Jan  5 04:05:07 gw sipfw: SIP/2.0 200 OK",
+            "<134>Jan  5 04:05:07 gw sipfw: Call-ID: abc123",
+        ]
+        (lz / "p1.txt").write_text("\n".join(lines) + "\n")
+        conf = """
+        input { udp { host => 0.0.0.0 port => 514 type => syslog
+                      landing_zone => lz } }
+        filter {
+          if [type] == syslog {
+            regex {
+              regex => /<(\\S+)>(\\S+\\s+\\S+\\s+\\d+:\\d+:\\d+)(\\s\\S+[^:]){1,2}(:.*|:)/
+              fields => "syslog_priority,timestamp,syslog_program,message"
+              builtin_regex => syslogingate_all
+              regex_flags => gm
+            }
+            syslog_pri {}
+          }
+          multiline {
+            start_line_regex => /^:?\\s*(send|recv).*via.*connection\\s\\d+:/
+            max_delay => 10
+            regex_flags => i
+          }
+          noop {}
+        }
+        output { file { path => out.ndjson serializer => json_logstash } }
+        """
+        run_conf_files(spark, conf, base_dir=str(tmp_path))
+        recs = [json.loads(l) for l in
+                spark.read.text(str(tmp_path / "out.ndjson"))
+                .toPandas()["value"]]
+        assert len(recs) == 2
+        recs.sort(key=lambda r: r["line_no"])
+        assert all(r["n_lines"] == 3 for r in recs)
+        assert "INVITE sip:bob@x.com SIP/2.0" in recs[0]["message"]
+        assert recs[0]["message"].splitlines()[0].lstrip(": ").startswith("send")
+        assert "200 OK" in recs[1]["message"]
+
     def test_conditional_outputs_partition_rows(self, spark):
         """if/else-if/else over outputs = mutually-exclusive routed sinks."""
         conf = """
