@@ -84,7 +84,8 @@ def entry(spark: SparkSession) -> DataFrame:
         df = datagen.token_sequences(spark, 5_000)
     out = flagship.run(spark, df)
     work_dir = tempfile.mkdtemp(prefix="pastash_entry_lineage_")
-    summary = flagship.run_with_lineage(spark, df, work_dir, n_buckets=8)
+    summary = flagship.run_with_lineage(spark, df, work_dir, n_buckets=4,
+                                        buckets_per_job=4)
     return out["aggregates"].crossJoin(F.broadcast(summary))
 
 

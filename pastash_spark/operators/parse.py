@@ -270,8 +270,11 @@ def syslog_pri(df: DataFrame, *, field: str = "syslog_pri",
                prefix: str = "syslog_") -> DataFrame:
     """Decode priority int: severity = pri & 7, facility = pri >> 3, plus
     label lookup (filter_syslog_pri.js:59-67).  Pure bitwise + array index —
-    no join needed for a static 31-entry vocabulary."""
-    pri = F.col(field).cast("int")
+    no join needed for a static 31-entry vocabulary.  Out-of-range values
+    stay undecoded (the reference's `> -1 && < 192` guard,
+    filter_syslog_pri.js:60), as do non-numeric ones."""
+    pri0 = F.col(field).try_cast("int")   # non-numeric -> NULL, not ANSI error
+    pri = F.when((pri0 >= 0) & (pri0 < 192), pri0)
     sev = pri.bitwiseAND(F.lit(7))
     fac = F.shiftright(pri, 3)
     sev_labels = F.array(*[F.lit(s) for s in SYSLOG_SEVERITIES])
@@ -279,9 +282,13 @@ def syslog_pri(df: DataFrame, *, field: str = "syslog_pri",
     return (df
             .withColumn(prefix + "severity", sev)
             .withColumn(prefix + "facility", fac)
-            .withColumn(prefix + "severity_name", F.element_at(sev_labels, sev + 1))
+            # explicit null guard: element_at(arr, NULL) resolves like a
+            # negative index (returns the LAST element), not NULL
+            .withColumn(prefix + "severity_name",
+                        F.when(sev.isNotNull(),
+                               F.element_at(sev_labels, sev + 1)))
             .withColumn(prefix + "facility_name",
-                        F.when(fac < len(SYSLOG_FACILITIES),
+                        F.when(fac.isNotNull() & (fac < len(SYSLOG_FACILITIES)),
                                F.element_at(fac_labels, fac + 1))))
 
 

@@ -293,4 +293,4 @@ def test_entry_contract(spark):
     cols = set(out.columns)
     assert {"sink", "source", "count", "sum_tokens"} <= cols
     assert {"resume_buckets_skipped", "lineage_committed_rows"} <= cols
-    assert all(r.resume_buckets_skipped == 8 for r in rows)
+    assert all(r.resume_buckets_skipped == 4 for r in rows)

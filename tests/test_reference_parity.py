@@ -310,6 +310,43 @@ class TestMessageFiltering206:
         assert got == {"nginx": "yes", "apache": None}
 
 
+class TestSyslogPri209:
+    """/root/reference/test/test_209_filter_syslog_pri.js — the vows truth
+    table: 158 -> local3/informational, 0 -> kernel/emergency,
+    191 -> local7/debug; non-numeric and out-of-range stay undecoded."""
+
+    def test_truth_table(self, spark):
+        from pastash_spark.operators import parse as P
+        df = spark.createDataFrame(
+            [("a",), ("158",), ("0",), ("191",), ("250",), (None,)],
+            "syslog_priority string")
+        out = P.syslog_pri(df, field="syslog_priority")
+        got = [(r.syslog_priority, r.syslog_facility_name,
+                r.syslog_severity_name) for r in out.collect()]
+        assert got == [
+            ("a", None, None),
+            ("158", "local3", "informational"),
+            ("0", "kernel", "emergency"),
+            ("191", "local7", "debug"),
+            ("250", None, None),          # > 191: the reference's guard
+            (None, None, None),
+        ]
+
+
+class TestComputeDateField210:
+    """/root/reference/test/test_210_compute_date_field.js — golden:
+    '2012-07-31T18:02:28.123+02:00' with 'DD/MMMM/YYYY HH' renders
+    '31/July/2012 16' (UTC)."""
+
+    def test_golden_record(self, spark):
+        df = spark.createDataFrame([("2012-07-31T18:02:28.123+02:00",),
+                                    (None,)],
+                                   "`@timestamp` string")
+        out = M.compute_date_field(df, "titi", "DD/MMMM/YYYY HH")
+        vals = [r.titi for r in out.collect()]
+        assert vals == ["31/July/2012 16", None]
+
+
 class TestLogstash421:
     """/root/reference/test/test_421_logstash/* config fixtures."""
 
