@@ -312,23 +312,43 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             k: int = 10, n_planes: int = 8, dim: int | None = None) -> DataFrame:
+             k: int = 10, n_planes: int = 8, dim: int | None = None,
+             n_tables: int = 1, seed0: int = 42) -> DataFrame:
     """Approximate top-k: score only within matching random-projection
-    buckets — the candidate join is an equi-join on bucket, so corpus scan
-    cost is unchanged but pair count drops ~2^n_planes-fold."""
-    cb = random_projection_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cv")),
-        vec_col="_cv", n_planes=n_planes, dim=dim)
-    qb = random_projection_buckets(
-        queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv")),
-        vec_col="_qv", n_planes=n_planes, dim=dim)
-    scored = (cb.join(F.broadcast(qb), "bucket")
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .withColumn("_sim", cosine(
-                  F.col("_qv").cast("array<double>"),
-                  F.col("_cv").cast("array<double>"))))
+    buckets — the candidate join is an equi-join on (table, bucket), so
+    corpus scan cost is unchanged but pair count drops ~2^n_planes-fold
+    per table.
+
+    ``n_tables`` is the recall knob: sign-LSH single-bucket recall is
+    ~(1 - theta/pi)^n_planes per table, which on near-isotropic embeddings
+    (top-k neighbors at ~70 deg) is only a few percent — union the
+    candidates of T independent tables to lift it ~T-fold at T-fold
+    candidate cost.  tests/test_dataset_ops pins measured recall vs brute
+    force; for recall-critical serving prefer ivf_topk (nprobe/n_centroids
+    bounds scanned corpus fraction directly).
+    """
+    def bucketed(df, idc, vc):
+        out = None
+        for t in range(n_tables):
+            b = random_projection_buckets(
+                df, vec_col=vc, n_planes=n_planes, dim=dim,
+                seed=seed0 + t).withColumn("_tbl", F.lit(t))
+            out = b if out is None else out.unionByName(b)
+        return out
+
+    cb = bucketed(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("_cv")),
+                  "neighbor_id", "_cv")
+    qb = bucketed(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("_qv")),
+                  "query_id", "_qv")
+    cand = (cb.join(F.broadcast(qb), ["_tbl", "bucket"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "_qv", "_cv")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.withColumn("_sim", cosine(
+        F.col("_qv").cast("array<double>"),
+        F.col("_cv").cast("array<double>")))
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

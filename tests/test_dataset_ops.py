@@ -228,6 +228,33 @@ def test_ngram_repetition_counts(spark):
     assert got == {1: (3, 5), 2: (1, 3), 3: (0, 0)}
 
 
+def test_ann_recall_vs_brute_force(spark):
+    """HONEST approximation quality on the driver's embeddings (64-dim,
+    near-isotropic — the hard case for ANN): IVF with nprobe=2/8 recalls
+    >= 0.5; sign-LSH single-table recall is only a few percent here
+    (theory: (1 - theta/pi)^n_planes at theta ~ 70 deg) and must rise
+    roughly linearly with n_tables — the documented recall knob."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(emb, q, k=10).collect()}
+    assert len(truth) == 200
+
+    def recall(pairs):
+        return len(pairs & truth) / len(truth)
+
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in S.ivf_topk(emb, q, k=10, n_centroids=8, nprobe=2).collect()}
+    assert recall(ivf) >= 0.5
+    r1 = recall({(r.query_id, r.neighbor_id) for r in
+                 S.lsh_topk(emb, q, k=10, n_planes=6, dim=64,
+                            n_tables=1).collect()})
+    r8 = recall({(r.query_id, r.neighbor_id) for r in
+                 S.lsh_topk(emb, q, k=10, n_planes=6, dim=64,
+                            n_tables=8).collect()})
+    assert r8 >= 4 * r1 and r8 >= 0.2     # measured: 0.03 -> 0.27
+
+
 def test_exact_cosine_pairs_size_guard(spark):
     """The exact all-pairs form fails FAST above max_rows, pointing at the
     LSH path — never silently launches an O(n^2) job (VERDICT r02 #4)."""
