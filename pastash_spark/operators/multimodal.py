@@ -1,10 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partition-friendly UDF
-signatures) is real and tested; the actual codec calls are stubbed behind
-``decoder=`` injection because no image/audio libraries exist in this
-container — a production deploy passes e.g. a PIL/torchaudio-backed decoder
-with the same signature.
+signatures) is real and tested, and so are the decoders for every format
+that doesn't require an entropy codec: PPM P6 + 24-bit BMP images
+(pure-numpy ``decode_pixels`` + nearest-neighbor resize) and RIFF/WAV PCM
+audio (stdlib ``wave``).  Compressed formats (JPEG/PNG/mp3/...) genuinely
+need codec libraries absent from this container; those rows surface a
+per-row ``error`` instead of failing the job, and the generic feature path
+accepts a ``decoder=`` injection for a PIL/torchaudio-backed production
+deploy.
 
 Design points for 100 TB:
   * payloads stay opaque bytes until the LAST possible operator — metadata
@@ -100,13 +104,150 @@ def frame_sample(df: DataFrame, *, every_n: int = 10,
     return df.mapInPandas(run, schema=out_schema)
 
 
-def decode_image(df: DataFrame, **_kw) -> DataFrame:
-    """Real image decode requires PIL/opencv — not available in this
-    container.  The feature path users need is extract_features(); raw
-    pixel decode is explicitly unimplemented."""
+# --- REAL decoders for uncompressed formats (no codec libs needed) ----------
+
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """Decode an UNCOMPRESSED image payload to an HxWx3 uint8 array —
+    real, pure-numpy decoders for the two classic headerful raw formats:
+
+      * PPM P6 (netpbm binary RGB)
+      * BMP, 24-bit BI_RGB (bottom-up BGR rows, 4-byte padded)
+
+    Compressed formats (JPEG/PNG/WebP) genuinely need codec libraries and
+    raise NotImplementedError naming them — the dividing line is entropy
+    coding, not Spark plumbing."""
+    import struct
+
+    if payload[:2] == b"P6":
+        # P6\n<w> <h>\n<maxval>\n<raw RGB>
+        parts, i, tok = [], 2, b""
+        while len(parts) < 3:
+            c = payload[i:i + 1]
+            i += 1
+            if c == b"#":                       # comment to EOL
+                while payload[i:i + 1] not in (b"\n", b""):
+                    i += 1
+                continue
+            if c.isspace():
+                if tok:
+                    parts.append(int(tok))
+                    tok = b""
+                continue
+            tok += c
+        w, h, maxval = parts
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255")
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+        return px.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        off, = struct.unpack_from("<I", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp, = struct.unpack_from("<H", payload, 28)
+        comp, = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={comp}; "
+                                      "only 24-bit BI_RGB is codec-free")
+        flip = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                             offset=off).reshape(h, stride)
+        img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]   # BGR -> RGB
+        return img[::-1].copy() if flip else img.copy()
     raise NotImplementedError(
-        "image decoding needs PIL/opencv (not in this environment); "
-        "use extract_features(decoder=...) with a real codec in production")
+        "compressed/unknown image format (JPEG/PNG/... need codec libs); "
+        "pure decoders cover PPM P6 and 24-bit BMP")
+
+
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (index mapping, no interpolation
+    libs)."""
+    ys = (np.arange(h) * img.shape[0] // h)
+    xs = (np.arange(w) * img.shape[1] // w)
+    return img[ys][:, xs]
+
+
+def decode_image(df: DataFrame, *, payload_col: str = "payload",
+                 thumb: tuple[int, int] = (8, 8),
+                 target: str = "image") -> DataFrame:
+    """REAL image decode in mapInPandas: per row emits
+    struct<width,height,channels,thumb array<int>,error string> — thumb is
+    a nearest-neighbor ``thumb``-sized RGB downsample (flattened ints), the
+    standard near-dup/sanity fingerprint.  Unsupported/compressed payloads
+    yield a NULL struct body with the error message instead of failing the
+    job (a 100 TB media crawl always contains undecodable files)."""
+    th, tw = thumb
+    fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+    out_schema = ", ".join(fields + [
+        f"`{target}` struct<width:int,height:int,channels:int,"
+        f"thumb:array<int>,error:string>"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            res = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    res.append({"width": None, "height": None,
+                                "channels": None, "thumb": None,
+                                "error": "null payload"})
+                    continue
+                try:
+                    img = decode_pixels(bytes(p))
+                    t = resize_nearest(img, th, tw)
+                    res.append({"width": int(img.shape[1]),
+                                "height": int(img.shape[0]),
+                                "channels": int(img.shape[2]),
+                                "thumb": [int(x) for x in t.ravel()],
+                                "error": None})
+                except NotImplementedError as e:
+                    res.append({"width": None, "height": None,
+                                "channels": None, "thumb": None,
+                                "error": str(e)})
+            out[target] = res
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_features(df: DataFrame, *, payload_col: str = "payload",
+                   target: str = "audio") -> DataFrame:
+    """REAL audio decode for RIFF/WAV PCM via the stdlib ``wave`` module:
+    struct<sample_rate,n_frames,duration_s,rms> per row; non-WAV payloads
+    yield NULL body + error (mp3/aac need codec libs)."""
+    import io
+    import wave
+
+    fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+    out_schema = ", ".join(fields + [
+        f"`{target}` struct<sample_rate:int,n_frames:bigint,"
+        f"duration_s:double,rms:double,error:string>"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            res = []
+            for p in pdf[payload_col]:
+                try:
+                    with wave.open(io.BytesIO(bytes(p))) as w:
+                        sr, n = w.getframerate(), w.getnframes()
+                        width = w.getsampwidth()
+                        raw = w.readframes(n)
+                    if width != 2:
+                        raise NotImplementedError(f"sample width {width}")
+                    s = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                    rms = float(np.sqrt((s ** 2).mean())) if len(s) else 0.0
+                    res.append({"sample_rate": sr, "n_frames": n,
+                                "duration_s": n / sr, "rms": rms,
+                                "error": None})
+                except Exception as e:
+                    res.append({"sample_rate": None, "n_frames": None,
+                                "duration_s": None, "rms": None,
+                                "error": str(e)[:200]})
+            out[target] = res
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def media_stats(df: DataFrame) -> DataFrame:

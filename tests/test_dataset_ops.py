@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -377,8 +378,76 @@ def test_multimodal_features_and_frames(spark):
     assert [f.frame_no for f in fr["m1"]] == [0, 2]
     assert fr["m3"] == []
 
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(df)
+
+def _ppm_bytes(w, h, px):
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def _bmp_bytes(w, h, rows_rgb):
+    """Minimal 24-bit BI_RGB bottom-up BMP writer (test-local oracle)."""
+    import struct
+    stride = (w * 3 + 3) & ~3
+    pix = b""
+    for row in reversed(rows_rgb):               # bottom-up
+        line = b"".join(bytes([b_, g, r]) for (r, g, b_) in row)  # BGR
+        pix += line + b"\x00" * (stride - len(line))
+    off = 54
+    return (b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                          2835, 2835, 0, 0) + pix)
+
+
+def _wav_bytes(sr, samples):
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_decode_image_real_ppm_and_bmp(spark):
+    """REAL codec-free decode: PPM P6 and 24-bit BMP round-trip pixel-exact;
+    compressed formats surface a per-row error, never a job failure."""
+    ppm = _ppm_bytes(2, 2, [255, 0, 0,  0, 255, 0,
+                            0, 0, 255,  9, 9, 9])
+    bmp = _bmp_bytes(2, 2, [[(255, 0, 0), (0, 255, 0)],
+                            [(0, 0, 255), (9, 9, 9)]])
+    rows = [("p", "image", ppm, {}), ("b", "image", bmp, {}),
+            ("j", "image", b"\xff\xd8\xffJPEGISH", {})]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r.media_id: r.image for r in
+           MM.decode_image(df, thumb=(2, 2)).collect()}
+    for mid in ("p", "b"):
+        img = out[mid]
+        assert (img.width, img.height, img.channels) == (2, 2, 3)
+        assert img.thumb == [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9]
+        assert img.error is None
+    assert out["j"].width is None and "codec" in out["j"].error
+
+
+def test_decode_pixels_resize():
+    img = MM.decode_pixels(_ppm_bytes(4, 2, list(range(24))))
+    assert img.shape == (2, 4, 3)
+    small = MM.resize_nearest(img, 1, 2)
+    assert small.shape == (1, 2, 3)
+    assert small[0, 0].tolist() == [0, 1, 2]     # nearest = top-left pixels
+
+
+def test_audio_features_real_wav(spark):
+    sig = ([10000, -10000] * 50)                 # 100 samples square wave
+    rows = [("w", "audio", _wav_bytes(8000, sig), {}),
+            ("x", "audio", b"ID3notawav", {})]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r.media_id: r.audio for r in MM.audio_features(df).collect()}
+    a = out["w"]
+    assert a.sample_rate == 8000 and a.n_frames == 100
+    assert abs(a.duration_s - 0.0125) < 1e-9
+    assert abs(a.rms - 10000.0) < 1e-6
+    assert out["x"].sample_rate is None and out["x"].error
 
 
 def test_media_stats_prunes_payload(spark):
