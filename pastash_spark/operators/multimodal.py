@@ -200,10 +200,10 @@ def decode_image(df: DataFrame, *, payload_col: str = "payload",
                                 "channels": int(img.shape[2]),
                                 "thumb": [int(x) for x in t.ravel()],
                                 "error": None})
-                except NotImplementedError as e:
+                except Exception as e:          # malformed headers included
                     res.append({"width": None, "height": None,
                                 "channels": None, "thumb": None,
-                                "error": str(e)})
+                                "error": str(e)[:200]})
             out[target] = res
             yield out
 

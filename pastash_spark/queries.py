@@ -1568,6 +1568,37 @@ def q_statsd_time_windows(spark, sf_dir):
                     "counter", "timer_sum"))
 
 
+@_q("multimodal_decode", """
+SELECT doc_id,
+       2 AS width, 2 AS height, 3 AS channels,
+       array_to_string(list_transform(generate_series(1, 12),
+                                      i -> ascii(substring(md5(text), i, 1))),
+                       ',') AS thumb_csv
+FROM documents
+""")
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode under the driver gate: each doc renders a 2x2 PPM
+    P6 whose 12 pixel bytes are the first 12 md5-hex chars of its text
+    (ASCII-safe, deterministic); decode_image parses the binary payload and
+    the oracle re-derives the pixel bytes analytically (ascii of the hex
+    chars) — so header parsing, pixel layout and the thumbnail path are
+    value-verified, not just row counts."""
+    from pastash_spark.operators.multimodal import decode_image
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.concat(F.lit("P6\n2 2\n255\n"), F.substring(F.md5("text"), 1, 12)),
+        "UTF-8")
+    df = docs.select("doc_id", payload.alias("payload"))
+    out = decode_image(df, thumb=(2, 2))
+    return out.select(
+        "doc_id",
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.channels").alias("channels"),
+        F.array_join(F.col("image.thumb").cast("array<string>"), ",")
+         .alias("thumb_csv"))
+
+
 @_q("xml_extract", """
 SELECT event_id,
        event_id AS xid,
@@ -1669,6 +1700,7 @@ _GATE_TAIL = [
     # round-3 additions (full oracles; window is already at capacity)
     "pack_sequences", "dataset_split", "ngram_repetition_filter",
     "xml_extract", "rfc3339_convert", "statsd_time_windows",
+    "multimodal_decode",
     # redundant / demoted variants, still oracle-checked locally
     "broadcast_enrich", "sessionize", "forward_fill_correlation",
     "routing_fanout", "statsd_sink", "token_count", "dedup_exact_keep",
