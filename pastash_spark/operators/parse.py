@@ -391,6 +391,51 @@ def xml_fields(df: DataFrame, schema: "T.StructType | str", *,
     return out
 
 
+PROM_SAMPLE_RE = (r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"
+                  r"(?:\{(.*)\})?\s+([-+0-9.eE]+|NaN|[+-]Inf)"
+                  r"(?:\s+([0-9]+))?\s*$")
+PROM_TYPE_RE = r"^# TYPE ([a-zA-Z_:][a-zA-Z0-9_:]*) ([a-z]+)\s*$"
+
+
+def prometheus_metrics(df: DataFrame, *,
+                       field: str = DEFAULT_FIELD) -> DataFrame:
+    """Prometheus text-exposition parser — the landing-zone analogue of the
+    reference's /metrics scraper input (plugins/inputs/prometheus: each
+    sample becomes an event carrying name + flattened labels + float value
+    + the metric type from the `# TYPE` comment).
+
+    All native: one regexp per sample line (name, label blob, value,
+    optional timestamp), `str_to_map` for the label set, and the TYPE
+    comments aggregated per metric name then broadcast-joined back — no
+    per-line Python.  Simple-case label parsing (no embedded commas/escaped
+    quotes inside label values — the overwhelmingly common exporter
+    output).
+
+    Output: (metric, labels map<string,string>, value double,
+    prom_ts long|null, metric_type string|null), one row per sample line;
+    comments and non-sample lines drop (filter contract 1->{0,1}).
+    """
+    src = F.col(field)
+    name = F.regexp_extract(src, PROM_SAMPLE_RE, 1)
+    blob = F.regexp_extract(src, PROM_SAMPLE_RE, 2)
+    val = F.regexp_extract(src, PROM_SAMPLE_RE, 3)
+    ts = F.regexp_extract(src, PROM_SAMPLE_RE, 4)
+    samples = (df.filter(~src.startswith("#") & (name != ""))
+               .withColumn("metric", name)
+               .withColumn("labels", F.when(
+                   blob != "",
+                   F.str_to_map(F.regexp_replace(blob, '"', ""),
+                                F.lit(","), F.lit("="))))
+               .withColumn("value", val.try_cast("double"))
+               .withColumn("prom_ts", ts.try_cast("long")))
+    tname = F.regexp_extract(src, PROM_TYPE_RE, 1)
+    types = (df.select(tname.alias("metric"),
+                       F.regexp_extract(src, PROM_TYPE_RE, 2).alias("metric_type"))
+             .filter(F.col("metric") != "")
+             .groupBy("metric").agg(F.max("metric_type").alias("metric_type")))
+    return samples.join(F.broadcast(types), "metric", "left")
+
+
 def rfc3339(df: DataFrame, *, source: str, mode: int = 0,
             target: str = "rfc3339") -> DataFrame:
     """RFC3339 <-> integer-epoch conversion

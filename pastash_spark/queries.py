@@ -1568,6 +1568,39 @@ def q_statsd_time_windows(spark, sf_dir):
                     "counter", "timer_sum"))
 
 
+@_q("prometheus_parse", """
+SELECT event_id,
+       'ev_' || event_type || '_total' AS metric,
+       'u' || CAST(user_id % 10 AS VARCHAR) AS user_lbl,
+       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_i,
+       'counter' AS metric_type
+FROM events
+""")
+def q_prometheus_parse(spark, sf_dir):
+    """Prometheus exposition-format parse (the scraper input's landing-zone
+    analogue): render '# TYPE' comments + labeled sample lines from the
+    events table, parse them back natively (regex + str_to_map + TYPE
+    broadcast-join), and let the oracle derive the same outputs
+    analytically — the grok-oracle pattern, so a parse bug cannot cancel."""
+    ev = _t(spark, sf_dir, "events")
+    sample = F.concat(
+        F.lit("ev_"), F.col("event_type"), F.lit('_total{user="u'),
+        (F.col("user_id") % 10).cast("string"), F.lit('",src="gw"} '),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").cast("string"))
+    lines = ev.select("event_id", sample.alias("message"))
+    types = (ev.select(
+        F.concat(F.lit("# TYPE ev_"), F.col("event_type"),
+                 F.lit("_total counter")).alias("message"))
+        .distinct().withColumn("event_id", F.lit(None).cast("long")))
+    both = lines.unionByName(types)
+    out = P.prometheus_metrics(both)
+    return out.select(
+        "event_id", "metric",
+        F.col("labels")["user"].alias("user_lbl"),
+        F.col("value").cast("long").alias("value_i"),
+        "metric_type")
+
+
 @_q("multimodal_decode", """
 SELECT doc_id,
        2 AS width, 2 AS height, 3 AS channels,
@@ -1700,7 +1733,7 @@ _GATE_TAIL = [
     # round-3 additions (full oracles; window is already at capacity)
     "pack_sequences", "dataset_split", "ngram_repetition_filter",
     "xml_extract", "rfc3339_convert", "statsd_time_windows",
-    "multimodal_decode",
+    "multimodal_decode", "prometheus_parse",
     # redundant / demoted variants, still oracle-checked locally
     "broadcast_enrich", "sessionize", "forward_fill_correlation",
     "routing_fanout", "statsd_sink", "token_count", "dedup_exact_keep",

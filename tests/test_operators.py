@@ -239,6 +239,34 @@ def test_mustache_array_var_renders_js_style(spark):
     assert M.mustache(df, "o", "{{nums}}|{{strs}}").first().o == "1,2,3|a,,b"
 
 
+def test_prometheus_metrics_parse(spark):
+    """Exposition-format edges: label-less samples, explicit timestamps,
+    TYPE comments joined back per metric, HELP/blank lines dropped."""
+    lines = [
+        "# HELP up Whether the target is up",
+        "# TYPE up gauge",
+        "up 1",
+        '# TYPE http_requests_total counter',
+        'http_requests_total{method="get",code="200"} 1027 1395066363000',
+        'http_requests_total{method="post",code="400"} 3',
+        "",
+        "not a metric line !!",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "message string")
+    out = {(r.metric, tuple(sorted((r.labels or {}).items()))): r
+           for r in P.prometheus_metrics(df).collect()}
+    assert len(out) == 3
+    up = out[("up", ())]
+    assert up.value == 1.0 and up.metric_type == "gauge" and up.prom_ts is None
+    get = out[("http_requests_total",
+               (("code", "200"), ("method", "get")))]
+    assert get.value == 1027.0 and get.metric_type == "counter"
+    assert get.prom_ts == 1395066363000
+    post = out[("http_requests_total",
+                (("code", "400"), ("method", "post")))]
+    assert post.value == 3.0
+
+
 def test_xml_fields_schema_and_xpath(spark):
     df = spark.createDataFrame(
         [('<a><b>7</b><c>x</c><d><e>deep</e></d></a>',)], "message string")
