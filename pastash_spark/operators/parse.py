@@ -391,6 +391,57 @@ def xml_fields(df: DataFrame, schema: "T.StructType | str", *,
     return out
 
 
+def _sip_header(src, names: str):
+    """First occurrence of a SIP header (long or RFC3261 compact form),
+    case-insensitive, multiline; '' -> NULL."""
+    v = F.regexp_extract(src, rf"(?im)^(?:{names})\s*:\s*(.*?)\s*$", 1)
+    return F.when(v != "", v)
+
+
+def sip_message(df: DataFrame, *, field: str = DEFAULT_FIELD,
+                prefix: str = "sip_") -> DataFrame:
+    """SIP message parse — the landing-zone analogue of the reference's
+    SIP socket input (plugins/inputs/sip/input_sip.js emits the npm `sip`
+    parser's request object) and the header fields its telephony filters
+    correlate on (esl/app_sonus extract Call-ID; HEP pairing uses
+    from/to tags).
+
+    Native single-pass regexes over the raw payload: start line (request
+    method+URI or response status+reason), core headers in long AND
+    compact form (Call-ID/i, From/f, To/t, Via/v, Contact/m), from/to
+    tags, CSeq number+method.  Requests have method set and status NULL;
+    responses the reverse — the reference drops method-less datagrams, a
+    downstream `filter(sip_method is not null)` reproduces that.
+    """
+    src = F.col(field)
+    first = F.regexp_extract(src, r"^([^\r\n]*)", 1)
+    method = F.regexp_extract(first, r"^([A-Z]+)\s+\S+\s+SIP/2\.0$", 1)
+    uri = F.regexp_extract(first, r"^[A-Z]+\s+(\S+)\s+SIP/2\.0$", 1)
+    status = F.regexp_extract(first, r"^SIP/2\.0\s+(\d{3})", 1)
+    reason = F.regexp_extract(first, r"^SIP/2\.0\s+\d{3}\s+(.*)$", 1)
+    frm = _sip_header(src, "From|f")
+    to = _sip_header(src, "To|t")
+    tag = r";tag=([^;>\s]+)"
+    cseq = _sip_header(src, "CSeq")
+    nn = lambda c: F.when(c != "", c)  # noqa: E731  '' -> NULL
+    return (df
+            .withColumn(prefix + "method", nn(method))
+            .withColumn(prefix + "uri", nn(uri))
+            .withColumn(prefix + "status", nn(status).cast("int"))
+            .withColumn(prefix + "reason", nn(reason))
+            .withColumn(prefix + "call_id", _sip_header(src, "Call-ID|i"))
+            .withColumn(prefix + "from", frm)
+            .withColumn(prefix + "from_tag", nn(F.regexp_extract(frm, tag, 1)))
+            .withColumn(prefix + "to", to)
+            .withColumn(prefix + "to_tag", nn(F.regexp_extract(to, tag, 1)))
+            .withColumn(prefix + "via", _sip_header(src, "Via|v"))
+            .withColumn(prefix + "contact", _sip_header(src, "Contact|m"))
+            .withColumn(prefix + "cseq_num",
+                        nn(F.regexp_extract(cseq, r"^(\d+)", 1)).cast("long"))
+            .withColumn(prefix + "cseq_method",
+                        nn(F.regexp_extract(cseq, r"^\d+\s+([A-Z]+)", 1))))
+
+
 PROM_SAMPLE_RE = (r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"
                   r"(?:\{(.*)\})?\s+([-+0-9.eE]+|NaN|[+-]Inf)"
                   r"(?:\s+([0-9]+))?\s*$")

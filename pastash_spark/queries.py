@@ -1568,6 +1568,37 @@ def q_statsd_time_windows(spark, sf_dir):
                     "counter", "timer_sum"))
 
 
+@_q("sip_parse", """
+SELECT event_id,
+       'INVITE' AS sip_method,
+       'cid-' || CAST(event_id AS VARCHAR) AS sip_call_id,
+       'ft' || CAST(event_id % 1000 AS VARCHAR) AS sip_from_tag,
+       event_id % 50 + 1 AS cseq_num,
+       CAST(NULL AS VARCHAR) AS sip_to_tag
+FROM events
+""")
+def q_sip_parse(spark, sf_dir):
+    """SIP message parse (the reference's SIP input + the Call-ID/tag
+    fields its telephony filters correlate on): render an INVITE per event,
+    parse it back natively, oracle derives the same fields analytically."""
+    ev = _t(spark, sf_dir, "events")
+    msg = F.concat(
+        F.lit("INVITE sip:u"), (F.col("user_id") % 10).cast("string"),
+        F.lit("@example.com SIP/2.0\r\n"),
+        F.lit("Via: SIP/2.0/UDP gw:5060;branch=z9hG4bK\r\n"),
+        F.lit("From: <sip:a@x.com>;tag=ft"),
+        (F.col("event_id") % 1000).cast("string"), F.lit("\r\n"),
+        F.lit("To: <sip:b@y.com>\r\n"),
+        F.lit("Call-ID: cid-"), F.col("event_id").cast("string"),
+        F.lit("\r\n"),
+        F.lit("CSeq: "), (F.col("event_id") % 50 + 1).cast("string"),
+        F.lit(" INVITE\r\n\r\n"))
+    out = P.sip_message(ev.select("event_id", msg.alias("message")))
+    return out.select("event_id", "sip_method", "sip_call_id",
+                      "sip_from_tag",
+                      F.col("sip_cseq_num").alias("cseq_num"), "sip_to_tag")
+
+
 @_q("prometheus_parse", """
 SELECT event_id,
        'ev_' || event_type || '_total' AS metric,
@@ -1733,7 +1764,7 @@ _GATE_TAIL = [
     # round-3 additions (full oracles; window is already at capacity)
     "pack_sequences", "dataset_split", "ngram_repetition_filter",
     "xml_extract", "rfc3339_convert", "statsd_time_windows",
-    "multimodal_decode", "prometheus_parse",
+    "multimodal_decode", "prometheus_parse", "sip_parse",
     # redundant / demoted variants, still oracle-checked locally
     "broadcast_enrich", "sessionize", "forward_fill_correlation",
     "routing_fanout", "statsd_sink", "token_count", "dedup_exact_keep",

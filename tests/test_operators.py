@@ -239,6 +239,37 @@ def test_mustache_array_var_renders_js_style(spark):
     assert M.mustache(df, "o", "{{nums}}|{{strs}}").first().o == "1,2,3|a,,b"
 
 
+def test_sip_message_request_response_compact(spark):
+    req = ("INVITE sip:bob@biloxi.com SIP/2.0\r\n"
+           "Via: SIP/2.0/UDP pc33.atlanta.com;branch=z9hG4bK776\r\n"
+           "To: Bob <sip:bob@biloxi.com>\r\n"
+           "From: Alice <sip:alice@atlanta.com>;tag=1928301774\r\n"
+           "Call-ID: a84b4c76e66710@pc33.atlanta.com\r\n"
+           "CSeq: 314159 INVITE\r\n\r\n")
+    resp = ("SIP/2.0 200 OK\r\n"
+            "v: SIP/2.0/UDP pc33.atlanta.com\r\n"
+            "t: <sip:bob@biloxi.com>;tag=a6c85cf\r\n"
+            "f: <sip:alice@atlanta.com>;tag=1928301774\r\n"
+            "i: a84b4c76e66710@pc33.atlanta.com\r\n"
+            "CSeq: 314159 INVITE\r\n\r\n")
+    df = spark.createDataFrame([(req,), (resp,), ("garbage",)],
+                               "message string")
+    rows = P.sip_message(df).collect()
+    rq, rs, g = rows
+    assert rq.sip_method == "INVITE" and rq.sip_uri == "sip:bob@biloxi.com"
+    assert rq.sip_status is None
+    assert rq.sip_call_id == "a84b4c76e66710@pc33.atlanta.com"
+    assert rq.sip_from_tag == "1928301774" and rq.sip_to_tag is None
+    assert rq.sip_cseq_num == 314159 and rq.sip_cseq_method == "INVITE"
+    # response + COMPACT headers (v/t/f/i)
+    assert rs.sip_method is None and rs.sip_status == 200
+    assert rs.sip_reason == "OK"
+    assert rs.sip_call_id == "a84b4c76e66710@pc33.atlanta.com"
+    assert rs.sip_to_tag == "a6c85cf" and rs.sip_from_tag == "1928301774"
+    # non-SIP payload: everything NULL (the reference drops method-less)
+    assert g.sip_method is None and g.sip_call_id is None
+
+
 def test_prometheus_metrics_parse(spark):
     """Exposition-format edges: label-less samples, explicit timestamps,
     TYPE comments joined back per metric, HELP/blank lines dropped."""
