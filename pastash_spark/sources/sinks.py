@@ -142,3 +142,75 @@ def gelf_serialize(df: DataFrame, *, host_col: str = "host",
                      if v is not None else None)
 
     return df.withColumn(target, deflate(js))
+
+
+# --- HEP v3 (Homer Encapsulation Protocol) -----------------------------------
+
+def hep3_encapsulate(payload: str, *, ip_family: int = 1, protocol: int = 17,
+                     src_ip: str = "127.0.0.1", dst_ip: str = "127.0.0.2",
+                     src_port: int = 0, dst_port: int = 0,
+                     time_sec: int = 0, time_usec: int = 0,
+                     proto_type: int = 100, capture_id: int = 2001,
+                     capture_pass: str = "MyHep",
+                     correlation_id: str = "") -> bytes:
+    """Build one HEPv3 packet per the PUBLIC sipcapture HEP spec
+    (the wire format the reference's output_hep.js produces via hep-js):
+    'HEP3' magic + u16 total length, then generic-vendor chunks, each
+    framed u16 vendor / u16 type / u16 length(incl. 6-byte header):
+    0x01 ip family u8, 0x02 protocol u8, 0x03/0x04 src/dst IPv4,
+    0x07/0x08 src/dst port u16, 0x09/0x0a tv_sec/tv_usec u32,
+    0x0b capture protocol type u8, 0x0c capture agent id u32,
+    0x0e capture password, 0x0f payload, 0x11 correlation id."""
+    import socket
+    import struct
+
+    def chunk(ctype: int, body: bytes) -> bytes:
+        return struct.pack(">HHH", 0, ctype, 6 + len(body)) + body
+
+    chunks = b"".join([
+        chunk(0x01, struct.pack("B", ip_family)),
+        chunk(0x02, struct.pack("B", protocol)),
+        chunk(0x03, socket.inet_aton(src_ip)),
+        chunk(0x04, socket.inet_aton(dst_ip)),
+        chunk(0x07, struct.pack(">H", int(src_port))),
+        chunk(0x08, struct.pack(">H", int(dst_port))),
+        chunk(0x09, struct.pack(">I", int(time_sec))),
+        chunk(0x0A, struct.pack(">I", int(time_usec))),
+        chunk(0x0B, struct.pack("B", proto_type)),
+        chunk(0x0C, struct.pack(">I", int(capture_id))),
+        chunk(0x0E, capture_pass.encode("utf-8")),
+        chunk(0x0F, (payload or "").encode("utf-8")),
+        chunk(0x11, (correlation_id or "").encode("utf-8")),
+    ])
+    return b"HEP3" + struct.pack(">H", 6 + len(chunks)) + chunks
+
+
+def hep_serialize(df: DataFrame, *, payload_col: str = "payload",
+                  correlation_col: str | None = "correlation_id",
+                  ts_col: str | None = None,
+                  proto_type: int = 100, capture_id: int = 2001,
+                  capture_pass: str = "MyHep",
+                  target: str = "hep") -> DataFrame:
+    """HEP/EEP sink serializer (output_hep.js:36-90 semantics: wrap each
+    event's payload + correlation id + capture credentials into a HEPv3
+    packet; transport delivery is the landing-zone/transport boundary, as
+    with gelf).  One Arrow pass; timestamps come from ``ts_col`` (epoch
+    seconds derived plan-side) or 0 for deterministic output."""
+    sec = (F.col(ts_col).cast("timestamp").cast("double")
+           if ts_col else F.lit(0.0))
+    corr = (F.col(correlation_col).cast("string") if correlation_col
+            else F.lit(""))
+    payload = F.col(payload_col).cast("string")
+
+    @F.pandas_udf("binary")
+    def pack(p: pd.Series, c: pd.Series, s: pd.Series) -> pd.Series:
+        out = []
+        for pay, cid, t in zip(p, c, s):
+            t = float(t or 0.0)
+            out.append(hep3_encapsulate(
+                pay, correlation_id=cid or "", proto_type=proto_type,
+                capture_id=capture_id, capture_pass=capture_pass,
+                time_sec=int(t), time_usec=int(round((t % 1) * 1e6))))
+        return pd.Series(out)
+
+    return df.withColumn(target, pack(payload, corr, sec))

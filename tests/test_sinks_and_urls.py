@@ -102,6 +102,39 @@ def test_gelf_serialize_deflates(spark):
                    "level": 3, "_app": "svc"}
 
 
+def _hep3_decode(b: bytes) -> dict:
+    """Test-local HEPv3 decoder (independent framing oracle)."""
+    import struct
+    assert b[:4] == b"HEP3"
+    total, = struct.unpack_from(">H", b, 4)
+    assert total == len(b)
+    i, chunks = 6, {}
+    while i < len(b):
+        vendor, ctype, clen = struct.unpack_from(">HHH", b, i)
+        assert vendor == 0 and clen >= 6
+        chunks[ctype] = b[i + 6:i + clen]
+        i += clen
+    return chunks
+
+
+def test_hep_serialize_hepv3_framing(spark):
+    import struct
+    from pastash_spark.sources.sinks import hep_serialize
+    df = spark.createDataFrame(
+        [("INVITE sip:x SIP/2.0", "call-77", "2024-01-02 03:04:05.250")],
+        "payload string, correlation_id string, ts string")
+    blob = bytes(hep_serialize(df, ts_col="ts", proto_type=1,
+                               capture_id=1234).first().hep)
+    c = _hep3_decode(blob)
+    assert c[0x0F] == b"INVITE sip:x SIP/2.0"
+    assert c[0x11] == b"call-77"
+    assert struct.unpack(">I", c[0x0C])[0] == 1234
+    assert c[0x0B] == bytes([1]) and c[0x0E] == b"MyHep"
+    assert struct.unpack(">I", c[0x0A])[0] == 250000        # usec
+    assert c[0x01] == bytes([1]) and c[0x02] == bytes([17])  # ipv4/udp
+    assert len(c[0x03]) == 4 and len(c[0x07]) == 2
+
+
 def test_msgpack_reader_gated(spark):
     import pytest as _pt
     from pastash_spark.sources.readers import read_msgpack
