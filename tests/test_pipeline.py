@@ -241,6 +241,48 @@ def test_file_tail_resume_logrotate(spark, tmp_path):
     assert len(seen) == 1500 and len(set(seen)) == 1500
 
 
+def test_sip_capture_pipeline_to_hep(spark, tmp_path):
+    """Capstone telephony e2e (the reference's home use case): raw SIP
+    deposits -> sip_message parse -> Call-ID forward-fill correlation ->
+    HEPv3 packets — i.e. what `input sip -> filter esl-ish -> output hep`
+    produces, entirely through the library surface."""
+    from pastash_spark.operators.correlate import forward_fill_correlation
+    from pastash_spark.operators.parse import sip_message
+    from pastash_spark.sources.sinks import hep_serialize
+    from tests.test_sinks_and_urls import _hep3_decode
+
+    def sipmsg(kind, cid, seq):
+        if kind == "invite":
+            start = "INVITE sip:bob@b.com SIP/2.0"
+            cidl = f"Call-ID: {cid}"
+        elif kind == "ok":
+            start = "SIP/2.0 200 OK"
+            cidl = f"i: {cid}"
+        else:
+            start = "BYE sip:bob@b.com SIP/2.0"
+            cidl = f"Call-ID: {cid}"
+        return (seq, f"{start}\r\nFrom: <sip:a@a.com>;tag=t{seq}\r\n"
+                     f"{cidl}\r\nCSeq: {seq} X\r\n\r\n")
+
+    rows = [sipmsg("invite", "c1", 1), sipmsg("ok", "c1", 2),
+            sipmsg("invite", "c2", 3), sipmsg("bye", "c1", 4),
+            (5, "not sip at all")]
+    df = spark.createDataFrame(rows, "seq int, payload string")
+    parsed = sip_message(df, field="payload")
+    # reference behavior: method-less AND status-less datagrams drop
+    kept = parsed.filter(F.col("sip_method").isNotNull() |
+                         F.col("sip_status").isNotNull())
+    corr = forward_fill_correlation(kept, key="sip_call_id", order="seq",
+                                    value="sip_call_id")
+    out = hep_serialize(corr, payload_col="payload",
+                        correlation_col="correlation_id", proto_type=1)
+    got = {r.seq: _hep3_decode(bytes(r.hep)) for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2][0x11] == b"c1"          # compact-header response correlated
+    assert got[4][0x11] == b"c1" and got[3][0x11] == b"c2"
+    assert got[1][0x0F].startswith(b"INVITE sip:bob")
+
+
 def test_flagship_from_documents_parquet(spark):
     """entry() contract: the flagship input derives from the driver's
     documents.parquet; the grok parse round-trips every rendered field and
