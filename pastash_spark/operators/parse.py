@@ -391,6 +391,67 @@ def xml_fields(df: DataFrame, schema: "T.StructType | str", *,
     return out
 
 
+def bencode_decode_py(data: bytes):
+    """Pure-Python bencode decoder (the @qxip/bencode analogue the
+    reference's bencode udp input runs per datagram): i<int>e, <len>:<str>,
+    l...e lists, d...e dicts (keys utf-8)."""
+    def rd(i):
+        c = data[i:i + 1]
+        if c == b"i":
+            j = data.index(b"e", i)
+            return int(data[i + 1:j]), j + 1
+        if c == b"l":
+            out, i = [], i + 1
+            while data[i:i + 1] != b"e":
+                v, i = rd(i)
+                out.append(v)
+            return out, i + 1
+        if c == b"d":
+            out, i = {}, i + 1
+            while data[i:i + 1] != b"e":
+                k, i = rd(i)
+                v, i = rd(i)
+                out[k if isinstance(k, str) else str(k)] = v
+            return out, i + 1
+        j = data.index(b":", i)
+        n = int(data[i:j])
+        raw = data[j + 1:j + 1 + n]
+        try:
+            return raw.decode("utf-8"), j + 1 + n
+        except UnicodeDecodeError:
+            return raw.hex(), j + 1 + n
+    v, end = rd(0)
+    if end != len(data):
+        raise ValueError("trailing bencode bytes")
+    return v
+
+
+def bencode_fields(df: DataFrame, *, field: str = DEFAULT_FIELD,
+                   target: str = "decoded") -> DataFrame:
+    """Bencode event decode (plugins/inputs/bencode landing-zone analogue):
+    each row's bencoded payload decodes to its JSON representation in one
+    Arrow pass — JSON keeps the column schema-stable across heterogenous
+    nested documents (the same trade base_input's json_logstash
+    unserializer makes); undecodable rows yield NULL."""
+    import json
+
+    @F.pandas_udf("string")
+    def dec(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                b = v if isinstance(v, (bytes, bytearray)) else \
+                    str(v).strip().encode("utf-8")
+                return json.dumps(bencode_decode_py(bytes(b)),
+                                  sort_keys=True, separators=(",", ":"))
+            except Exception:
+                return None
+        return s.map(one)
+
+    return df.withColumn(target, dec(F.col(field)))
+
+
 def _sip_header(src, names: str):
     """First occurrence of a SIP header (long or RFC3261 compact form),
     case-insensitive, multiline; '' -> NULL."""

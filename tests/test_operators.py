@@ -239,6 +239,24 @@ def test_mustache_array_var_renders_js_style(spark):
     assert M.mustache(df, "o", "{{nums}}|{{strs}}").first().o == "1,2,3|a,,b"
 
 
+def test_bencode_fields(spark):
+    """Bencode decode: ints/strings/lists/dicts round-trip to canonical
+    JSON; garbage -> NULL."""
+    df = spark.createDataFrame(
+        [("d3:agei30e4:name5:alice4:tagsl1:a1:bee",),
+         ("i42e",), ("4:spam",), ("not bencode",), (None,)],
+        "message string")
+    got = [r.decoded for r in P.bencode_fields(df).collect()]
+    assert got[0] == '{"age":30,"name":"alice","tags":["a","b"]}'
+    assert got[1] == "42" and got[2] == '"spam"'
+    assert got[3] is None and got[4] is None
+    # and it composes with json_fields for typed access
+    typed = P.json_fields(P.bencode_fields(df).filter(
+        F.col("decoded").startswith("{")),
+        "age int, name string", field="decoded").first()
+    assert (typed.age, typed.name) == (30, "alice")
+
+
 def test_sip_message_request_response_compact(spark):
     req = ("INVITE sip:bob@biloxi.com SIP/2.0\r\n"
            "Via: SIP/2.0/UDP pc33.atlanta.com;branch=z9hG4bK776\r\n"
