@@ -247,3 +247,73 @@ def test_interpolation_matches_fstring_oracle(spark, rows):
     want = [None if (a is None or b is None) else f"pre-{a}-mid-{b}!"
             for a, b in rows]
     assert got == want
+
+
+# --- bencode round-trip property ---------------------------------------------
+
+def _bencode(v) -> bytes:
+    if isinstance(v, int):
+        return b"i%de" % v
+    if isinstance(v, str):
+        b = v.encode("utf-8")
+        return b"%d:%s" % (len(b), b)
+    if isinstance(v, list):
+        return b"l" + b"".join(_bencode(x) for x in v) + b"e"
+    if isinstance(v, dict):
+        return b"d" + b"".join(
+            _bencode(k) + _bencode(v[k]) for k in sorted(v)) + b"e"
+    raise TypeError(type(v))
+
+
+_BVAL = st.recursive(
+    st.one_of(st.integers(-10**9, 10**9),
+              st.text(alphabet=st.characters(min_codepoint=32,
+                                             max_codepoint=0x2FF),
+                      max_size=12)),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(alphabet="abcdef", min_size=1, max_size=5),
+                        children, max_size=4)),
+    max_leaves=12)
+
+
+@given(st.lists(_BVAL, min_size=1, max_size=20))
+@settings(max_examples=6, deadline=None)
+def test_bencode_roundtrip_property(spark, values):
+    """encode (test-local) -> bencode_fields decode == canonical JSON of
+    the original value, for arbitrary nested int/str/list/dict trees."""
+    import json
+
+    from pastash_spark.operators.parse import bencode_fields
+    rows = [(_bencode(v),) for v in values]
+    df = spark.createDataFrame(rows, "message binary")
+    got = [r.decoded for r in bencode_fields(df).collect()]
+    want = [json.dumps(v, sort_keys=True, separators=(",", ":"))
+            for v in values]
+    assert got == want
+
+
+# --- pack_sequences vs a Python reference ------------------------------------
+
+@given(st.lists(st.lists(st.integers(0, 1000), max_size=30),
+                min_size=1, max_size=40),
+       st.sampled_from([4, 16, 32]))
+@settings(max_examples=5, deadline=None)
+def test_pack_sequences_matches_python_reference(spark, token_lists, seq_len):
+    import hashlib
+
+    from pastash_spark.operators.dataset import pack_sequences
+    rows = [(i, toks) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<bigint>")
+    got = {(r.bucket, r.seq_no): list(r.seq)
+           for r in pack_sequences(df, seq_len=seq_len, n_buckets=4).collect()}
+    want = {}
+    per_bucket: dict[int, list[int]] = {}
+    for i, _ in rows:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 4
+        per_bucket.setdefault(b, []).append(i)
+    for b, ids in per_bucket.items():
+        flat = [t for i in sorted(ids) for t in token_lists[i]]
+        for s in range(len(flat) // seq_len):
+            want[(b, s)] = flat[s * seq_len:(s + 1) * seq_len]
+    assert got == want
