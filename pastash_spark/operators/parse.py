@@ -391,6 +391,149 @@ def xml_fields(df: DataFrame, schema: "T.StructType | str", *,
     return out
 
 
+# RFC 3954 field types the reference's collector names (node-netflowv9
+# public vocabulary) — the common flow 9-tuple; others ride an extras map.
+NETFLOW_V9_FIELDS = {
+    1: "in_bytes", 2: "in_pkts", 4: "protocol", 7: "l4_src_port",
+    8: "ipv4_src_addr", 11: "l4_dst_port", 12: "ipv4_dst_addr",
+    21: "last_switched", 22: "first_switched",
+}
+_NF_IP_FIELDS = {8, 12, 15}
+
+
+def _nf9_parse_packet(data: bytes):
+    """Parse one NetFlow v9 export packet (RFC 3954): header + flowsets.
+    Returns (source_id, templates {tid: [(type, len), ...]},
+    data_flowsets [(tid, bytes)])."""
+    import struct
+    version, _count, _up, _secs, _seq, source_id = struct.unpack_from(
+        ">HHIIII", data, 0)
+    if version != 9:
+        raise ValueError(f"not a NetFlow v9 packet (version={version})")
+    i, templates, datasets = 20, {}, []
+    while i + 4 <= len(data):
+        fsid, flen = struct.unpack_from(">HH", data, i)
+        if flen < 4:
+            break
+        body = data[i + 4:i + flen]
+        if fsid == 0:                        # template flowset
+            j = 0
+            while j + 4 <= len(body):
+                tid, nf = struct.unpack_from(">HH", body, j)
+                j += 4
+                fields = []
+                for _ in range(nf):
+                    ftype, fl = struct.unpack_from(">HH", body, j)
+                    fields.append((ftype, fl))
+                    j += 4
+                templates[tid] = fields
+        elif fsid >= 256:                    # data flowset
+            datasets.append((fsid, body))
+        i += flen
+    return source_id, templates, datasets
+
+
+def netflow_v9(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """NetFlow v9 decode over landing-zone export packets — the batch twin
+    of the reference's collector input (plugins/inputs/netflowv9 emits one
+    event per decoded flow via node-netflowv9).
+
+    Spark shape: TWO passes because templates and data arrive in different
+    packets of a stream (RFC 3954 sends templates periodically).  Pass 1
+    (mapInPandas) scans only template flowsets and collects the tiny
+    (source_id, template_id) -> field-layout dictionary on the driver
+    (same legitimacy class as IVF's 8-row centroid collect); pass 2 decodes
+    every data flowset against the broadcast template dict — 1 packet ->
+    N flow rows, each with the common flow 9-tuple as typed columns and
+    every other field hex-encoded in an extras map.
+    """
+    tmpl_schema = "source_id long, template_id int, layout string"
+
+    def scan_templates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    continue
+                try:
+                    sid, templates, _ = _nf9_parse_packet(bytes(p))
+                except Exception:
+                    continue
+                for tid, fields in templates.items():
+                    rows.append((sid, tid, json.dumps(fields)))
+            yield pd.DataFrame(rows, columns=["source_id", "template_id",
+                                              "layout"])
+
+    import json
+    tmpl_rows = (df.mapInPandas(scan_templates, schema=tmpl_schema)
+                 .dropDuplicates(["source_id", "template_id"]).collect())
+    templates = {(r.source_id, r.template_id):
+                 [tuple(x) for x in json.loads(r.layout)]
+                 for r in tmpl_rows}
+
+    fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+              if f.name != payload_col]
+    out_schema = ", ".join(fields + [
+        "source_id bigint", "ipv4_src_addr string", "ipv4_dst_addr string",
+        "l4_src_port int", "l4_dst_port int", "protocol int",
+        "in_bytes bigint", "in_pkts bigint",
+        "first_switched bigint", "last_switched bigint",
+        "extras map<string,string>"])
+    keep = [f.name for f in df.schema.fields if f.name != payload_col]
+
+    named = ["ipv4_src_addr", "ipv4_dst_addr", "l4_src_port", "l4_dst_port",
+             "protocol", "in_bytes", "in_pkts", "first_switched",
+             "last_switched"]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                if p is None:
+                    continue
+                try:
+                    sid, local_t, datasets = _nf9_parse_packet(bytes(p))
+                except Exception:
+                    continue
+                for tid, body in datasets:
+                    layout = local_t.get(tid) or templates.get((sid, tid))
+                    if layout is None:
+                        continue                 # template never seen: drop
+                    rec_len = sum(fl for _, fl in layout)
+                    if rec_len == 0:
+                        continue
+                    j = 0
+                    while j + rec_len <= len(body):
+                        # every schema column present: a template missing a
+                        # named field must yield NULL, not a NaN float that
+                        # breaks the Arrow bigint cast
+                        rec = {"source_id": sid, "extras": {},
+                               **{n: None for n in named}}
+                        for ftype, fl in layout:
+                            raw = body[j:j + fl]
+                            j += fl
+                            name = NETFLOW_V9_FIELDS.get(ftype)
+                            if ftype in _NF_IP_FIELDS and fl == 4:
+                                val = ".".join(str(b) for b in raw)
+                            else:
+                                val = int.from_bytes(raw, "big")
+                            if name:
+                                rec[name] = val
+                            else:
+                                rec["extras"][str(ftype)] = raw.hex()
+                        out.append({**{k: row[k] for k in keep}, **rec})
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                columns=keep + ["source_id", "ipv4_src_addr",
+                                "ipv4_dst_addr", "l4_src_port",
+                                "l4_dst_port", "protocol", "in_bytes",
+                                "in_pkts", "first_switched",
+                                "last_switched", "extras"])
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
 def bencode_decode_py(data: bytes):
     """Pure-Python bencode decoder (the @qxip/bencode analogue the
     reference's bencode udp input runs per datagram): i<int>e, <len>:<str>,

@@ -72,6 +72,10 @@ _REGISTRY: dict[str, StageFn] = {
     "reverse_dns": E.reverse_dns,
     "xml": P.xml_fields,
     "rfc3339": P.rfc3339,
+    "sip": P.sip_message,
+    "prometheus": P.prometheus_metrics,
+    "bencode": P.bencode_fields,
+    "netflow_v9": P.netflow_v9,
     # conf-surface plugin names that alias operators above
     "mutate_replace": M.gsub,
     "noop": lambda df: df,

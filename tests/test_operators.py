@@ -239,6 +239,62 @@ def test_mustache_array_var_renders_js_style(spark):
     assert M.mustache(df, "o", "{{nums}}|{{strs}}").first().o == "1,2,3|a,,b"
 
 
+def _nf9_packet(source_id, templates=None, data=None):
+    """Test-local NetFlow v9 packet builder (RFC 3954 framing oracle).
+    templates = {tid: [(type, len), ...]}; data = [(tid, [recbytes, ...])]."""
+    import struct
+    flowsets = b""
+    for tid, fields in (templates or {}).items():
+        body = struct.pack(">HH", tid, len(fields))
+        for ftype, fl in fields:
+            body += struct.pack(">HH", ftype, fl)
+        flowsets += struct.pack(">HH", 0, 4 + len(body)) + body
+    for tid, recs in (data or []):
+        body = b"".join(recs)
+        flowsets += struct.pack(">HH", tid, 4 + len(body)) + body
+    hdr = struct.pack(">HHIIII", 9, len(templates or {}) + len(data or []),
+                      1000, 1700000000, 1, source_id)
+    return hdr + flowsets
+
+
+_NF9_T = {300: [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (1, 4), (99, 2)]}
+
+
+def _nf9_rec(src, dst, sp, dp, proto, nbytes, vendor):
+    import struct
+    return (bytes(src) + bytes(dst) + struct.pack(">H", sp)
+            + struct.pack(">H", dp) + bytes([proto])
+            + struct.pack(">I", nbytes) + struct.pack(">H", vendor))
+
+
+def test_netflow_v9_decode_including_cross_packet_template(spark):
+    """RFC 3954: packet A carries template 300 + one record; packet B (same
+    source) carries TWO records with no template — resolved via the
+    broadcast template pass; packet C is a different source with no
+    template and must drop its records."""
+    pa = _nf9_packet(7, templates=_NF9_T,
+                     data=[(300, [_nf9_rec((10, 0, 0, 1), (10, 0, 0, 2),
+                                           1234, 80, 6, 999, 0xBEEF)])])
+    pb = _nf9_packet(7, data=[(300, [
+        _nf9_rec((192, 168, 1, 9), (8, 8, 8, 8), 53, 53, 17, 100, 1),
+        _nf9_rec((10, 1, 1, 1), (10, 1, 1, 2), 5060, 5060, 17, 7, 2)])])
+    pc = _nf9_packet(8, data=[(300, [_nf9_rec((1, 1, 1, 1), (2, 2, 2, 2),
+                                              1, 2, 6, 5, 3)])])
+    df = spark.createDataFrame(
+        [("a", pa), ("b", pb), ("c", pc)], "pkt string, payload binary")
+    rows = {(r.pkt, r.ipv4_src_addr): r
+            for r in P.netflow_v9(df).collect()}
+    assert len(rows) == 3                       # packet C's record dropped
+    r1 = rows[("a", "10.0.0.1")]
+    assert (r1.ipv4_dst_addr, r1.l4_src_port, r1.l4_dst_port,
+            r1.protocol, r1.in_bytes) == ("10.0.0.2", 1234, 80, 6, 999)
+    assert r1.extras == {"99": "beef"}          # unnamed field -> hex extras
+    assert r1.in_pkts is None and r1.source_id == 7
+    r2 = rows[("b", "192.168.1.9")]
+    assert r2.ipv4_dst_addr == "8.8.8.8" and r2.protocol == 17
+    assert rows[("b", "10.1.1.1")].in_bytes == 7
+
+
 def test_bencode_fields(spark):
     """Bencode decode: ints/strings/lists/dicts round-trip to canonical
     JSON; garbage -> NULL."""
