@@ -76,6 +76,7 @@ _REGISTRY: dict[str, StageFn] = {
     "prometheus": P.prometheus_metrics,
     "bencode": P.bencode_fields,
     "netflow_v9": P.netflow_v9,
+    "sflow": P.sflow_v5,
     # conf-surface plugin names that alias operators above
     "mutate_replace": M.gsub,
     "noop": lambda df: df,

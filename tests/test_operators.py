@@ -239,6 +239,49 @@ def test_mustache_array_var_renders_js_style(spark):
     assert M.mustache(df, "o", "{{nums}}|{{strs}}").first().o == "1,2,3|a,,b"
 
 
+def _sflow_datagram(agent, samples):
+    """Test-local sFlow v5 datagram builder. samples = [(rate, frame_len,
+    eth_header_bytes)] — one raw-packet-header record per flow sample."""
+    import struct
+    body = b""
+    for k, (rate, flen, hdr) in enumerate(samples):
+        rec = struct.pack(">IIII", 1, flen, 4, len(hdr)) + hdr
+        rec_fs = struct.pack(">II", 1, len(rec)) + rec
+        s = struct.pack(">IIIIIIII", 100 + k, 9, rate, 10_000, 3, 1, 2, 1) \
+            + rec_fs
+        body += struct.pack(">II", 1, len(s)) + s
+    return (struct.pack(">II", 5, 1) + bytes(agent)
+            + struct.pack(">IIII", 7, 42, 1000, len(samples)) + body)
+
+
+def _eth_ipv4_udp(src, dst, sp, dp):
+    import struct
+    ip = bytes([0x45, 0]) + struct.pack(">H", 28) + b"\x00" * 4 \
+        + bytes([64, 17]) + b"\x00\x00" + bytes(src) + bytes(dst)
+    udp = struct.pack(">HH", sp, dp) + b"\x00\x00\x00\x00"
+    return b"\xaa" * 6 + b"\xbb" * 6 + b"\x08\x00" + ip + udp
+
+
+def test_sflow_v5_decode(spark):
+    """sFlow v5: flow samples with raw ethernet/IPv4/UDP headers dissect to
+    the 5-tuple + sampling metadata; non-IPv4 frames keep NULL tuple;
+    garbage datagrams drop."""
+    d1 = _sflow_datagram((10, 9, 8, 7), [
+        (4096, 1500, _eth_ipv4_udp((1, 2, 3, 4), (5, 6, 7, 8), 5060, 53)),
+        (4096, 64, b"\xaa" * 12 + b"\x86\xdd" + b"\x00" * 30),   # ipv6 frame
+    ])
+    df = spark.createDataFrame([("a", d1), ("g", b"nope")],
+                               "pkt string, payload binary")
+    rows = sorted(P.sflow_v5(df).collect(), key=lambda r: r.frame_length)
+    assert len(rows) == 2                       # garbage datagram dropped
+    v6, v4 = rows
+    assert v4.agent == "10.9.8.7" and v4.sampling_rate == 4096
+    assert (v4.src_ip, v4.dst_ip, v4.protocol, v4.src_port, v4.dst_port) \
+        == ("1.2.3.4", "5.6.7.8", 17, 5060, 53)
+    assert v4.frame_length == 1500 and v4.drops == 3
+    assert v6.src_ip is None and v6.protocol is None
+
+
 def _nf9_packet(source_id, templates=None, data=None):
     """Test-local NetFlow v9 packet builder (RFC 3954 framing oracle).
     templates = {tid: [(type, len), ...]}; data = [(tid, [recbytes, ...])]."""
