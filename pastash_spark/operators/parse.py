@@ -534,6 +534,37 @@ def netflow_v9(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(decode, schema=out_schema)
 
 
+def esl_event(df: DataFrame, *, field: str = DEFAULT_FIELD,
+              url_decode: bool = True) -> DataFrame:
+    """FreeSWITCH ESL plain-event parse (the reference's esl input receives
+    these via modesl; filter_esl.js then reads Event-Name / Unique-ID /
+    Other-Leg-Unique-ID headers): `Name: value` header lines, blank line,
+    optional body; text-mode values are URL-encoded.
+
+    All native: one str_to_map over the header block, `transform_values` +
+    url_decode for the encoding, and the correlation-relevant headers
+    surfaced as typed columns feeding operators/correlate.py's esl ops
+    (forward_fill_correlation / bleg_correlation).  Event-Date-Timestamp
+    is FreeSWITCH epoch MICROseconds -> `event_ts` timestamp."""
+    src = F.col(field)
+    hdr_block = F.regexp_extract(src, r"(?s)^(.*?)(?:\n\n|$)", 1)
+    body = F.regexp_extract(src, r"(?s)\n\n(.*)$", 1)
+    m = F.str_to_map(hdr_block, F.lit("\n"), F.lit(": "))
+    if url_decode:
+        m = F.transform_values(m, lambda _k, v: F.try_url_decode(v))
+    nn = lambda c: F.when(c != "", c)  # noqa: E731
+    out = df.withColumn("esl_headers", m)
+    h = F.col("esl_headers")
+    return (out
+            .withColumn("event_name", h["Event-Name"])
+            .withColumn("unique_id", h["Unique-ID"])
+            .withColumn("other_leg_unique_id", h["Other-Leg-Unique-ID"])
+            .withColumn("sip_call_id", h["variable_sip_call_id"])
+            .withColumn("event_ts", F.timestamp_micros(
+                h["Event-Date-Timestamp"].try_cast("long")))
+            .withColumn("esl_body", nn(body)))
+
+
 def _sflow_parse_datagram(data: bytes):
     """Parse one sFlow v5 datagram (public InMon spec): header + samples;
     returns (agent_ip, [flow_sample dicts]).  Standard flow samples

@@ -77,6 +77,7 @@ _REGISTRY: dict[str, StageFn] = {
     "bencode": P.bencode_fields,
     "netflow_v9": P.netflow_v9,
     "sflow": P.sflow_v5,
+    "esl_event": P.esl_event,
     # conf-surface plugin names that alias operators above
     "mutate_replace": M.gsub,
     "noop": lambda df: df,

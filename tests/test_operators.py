@@ -239,6 +239,35 @@ def test_mustache_array_var_renders_js_style(spark):
     assert M.mustache(df, "o", "{{nums}}|{{strs}}").first().o == "1,2,3|a,,b"
 
 
+def test_esl_event_parse_and_bleg_correlation(spark):
+    """ESL plain events (URL-encoded header values, optional body) parse to
+    typed correlation fields and feed bleg_correlation end-to-end."""
+    from pastash_spark.operators.correlate import bleg_correlation
+    ev1 = ("Event-Name: CHANNEL_CREATE\n"
+           "Unique-ID: leg-a\n"
+           "variable_sip_call_id: abc%40host\n"
+           "Event-Date-Timestamp: 1700000000016016\n\n")
+    ev2 = ("Event-Name: CHANNEL_ANSWER\n"
+           "Unique-ID: leg-b\n"
+           "Other-Leg-Unique-ID: leg-a\n"
+           "Event-Date-Timestamp: 1700000001000000\n\n"
+           "some body text")
+    df = spark.createDataFrame([(1, ev1), (2, ev2)], "seq int, message string")
+    out = P.esl_event(df)
+    rows = {r.seq: r for r in out.collect()}
+    a, b = rows[1], rows[2]
+    assert a.event_name == "CHANNEL_CREATE" and a.unique_id == "leg-a"
+    assert a.sip_call_id == "abc@host"          # url-decoded
+    assert str(a.event_ts).startswith("2023-11-14 22:13:20.016016")
+    assert a.esl_body is None
+    assert b.other_leg_unique_id == "leg-a" and b.esl_body == "some body text"
+    # B-leg resolution over the parsed fields
+    corr = bleg_correlation(
+        out.withColumn("correlation_id", F.col("sip_call_id")))
+    got = {r.unique_id: r.correlation_id for r in corr.collect()}
+    assert got == {"leg-a": "abc@host", "leg-b": "abc@host"}
+
+
 def _sflow_datagram(agent, samples):
     """Test-local sFlow v5 datagram builder. samples = [(rate, frame_len,
     eth_header_bytes)] — one raw-packet-header record per flow sample."""
