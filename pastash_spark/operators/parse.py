@@ -187,8 +187,13 @@ def grok(
 
 
 def grep(df: DataFrame, regex: str, *, field: str = DEFAULT_FIELD,
-         invert: bool = False) -> DataFrame:
-    """Keep rows whose field matches (filter_grep.js:26-32)."""
+         invert: bool = False, regex_flags: str | None = None) -> DataFrame:
+    """Keep rows whose field matches (filter_grep.js:26-32); regex_flags
+    maps JS i/m/s to inline flags like filter_regex."""
+    if regex_flags:
+        inline = "".join(ch for ch in regex_flags if ch in "ims")
+        if inline:
+            regex = f"(?{inline})" + regex
     m = F.coalesce(F.col(field).rlike(regex), F.lit(False))
     return df.filter(~m if invert else m)
 

@@ -347,6 +347,58 @@ class TestComputeDateField210:
         assert vals == ["31/July/2012 16", None]
 
 
+class TestSplit207Truncate219:
+    """test_207_filter_split.js / test_219_filter_truncate.js vows tables:
+    split drops EMPTY segments ('toto||tata|titi' -> 3 events), carries the
+    other fields onto every child, supports multi-char literal delimiters;
+    truncate cuts to max_size and leaves shorter values alone."""
+
+    def test_split_truth_table(self, spark):
+        from pastash_spark.operators import parse as P
+        df = spark.createDataFrame(
+            [("toto||tata|titi", "a"), ("tete|bouh|", "b")],
+            "message string, host string")
+        got = [(r.message, r.host) for r in
+               P.split(df, delimiter="|").orderBy("host", "chunk_no")
+               .select("message", "host").collect()]
+        assert got == [("toto", "a"), ("tata", "a"), ("titi", "a"),
+                       ("tete", "b"), ("bouh", "b")]
+        df2 = spark.createDataFrame([("toto|()tata|()|()titi", "a", 2)],
+                                    "message string, host string, z int")
+        got2 = [(r.message, r.host, r.z) for r in
+                P.split(df2, delimiter="|()").orderBy("chunk_no")
+                .select("message", "host", "z").collect()]
+        assert got2 == [("toto", "a", 2), ("tata", "a", 2), ("titi", "a", 2)]
+
+    def test_truncate_truth_table(self, spark):
+        from pastash_spark.operators import parse as P
+        df = spark.createDataFrame([("toto",), ("t",)], "message string")
+        assert [r.message for r in P.truncate(df, max_size=3).collect()] \
+            == ["tot", "t"]
+
+
+class TestGrep203Replace204:
+    """test_203_filter_grep.js (incl. regex_flags=i) and
+    test_204_filter_mutate_replace.js (incl. the FLOAT field becoming the
+    replaced STRING '10-42')."""
+
+    def test_grep_flags(self, spark):
+        from pastash_spark.operators import parse as P
+        df = spark.createDataFrame([("abcd",), ("ABcD",), ("abd5",)],
+                                   "message string")
+        assert [r.message for r in P.grep(df, r"\d").collect()] == ["abd5"]
+        assert [r.message for r in
+                P.grep(df, "abc", invert=True).collect()] == ["ABcD", "abd5"]
+        assert [r.message for r in
+                P.grep(df, "abc", regex_flags="i").collect()] \
+            == ["abcd", "ABcD"]
+
+    def test_mutate_replace_float_field(self, spark):
+        df = spark.createDataFrame([(10.42,), (None,)], "toto double")
+        got = [r.toto for r in M.gsub(df, "toto", r"\.", "-").collect()]
+        assert got == ["10-42", None]
+
+
 class TestLogstash421:
     """/root/reference/test/test_421_logstash/* config fixtures."""
 
