@@ -399,6 +399,36 @@ class TestGrep203Replace204:
         assert got == ["10-42", None]
 
 
+class TestHttpStatus217RemoveEqual220:
+    """test_217_filter_http_status_classifier.js full boundary table
+    (99/612 stay unclassified; 100..599 bucket; special_codes pass
+    through) and test_220_remove_field_when_equal.js."""
+
+    def test_status_boundaries(self, spark):
+        from pastash_spark.operators import parse as P
+        vals = [None, 99, 100, 200, 299, 302, 404, 499, 500, 504, 612]
+        df = spark.createDataFrame([(v,) for v in vals], "http_status int")
+        out = P.http_status_classifier(df, field="http_status",
+                                       target="http_class")
+        got = [r.http_class for r in out.collect()]
+        assert got == [None, None, "1xx", "2xx", "2xx", "3xx", "4xx",
+                       "4xx", "5xx", "5xx", None]
+        sp = P.http_status_classifier(df, field="http_status",
+                                      target="http_class",
+                                      special_codes=[499, 302])
+        got_sp = [r.http_class for r in sp.collect()]
+        assert got_sp == [None, None, "1xx", "2xx", "2xx", "302", "4xx",
+                          "499", "5xx", "5xx", None]
+
+    def test_remove_field_when_equal(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "-"), ("c", None)],
+            "message string, request_id string")
+        got = [(r.message, r.request_id) for r in
+               M.remove_field_when_equal(df, "request_id", "-").collect()]
+        assert got == [("a", "b"), ("b", None), ("c", None)]
+
+
 class TestLogstash421:
     """/root/reference/test/test_421_logstash/* config fixtures."""
 
