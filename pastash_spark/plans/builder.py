@@ -109,10 +109,26 @@ def _apply_stage(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                        f"(known: {sorted(_REGISTRY)})")
     fn = _REGISTRY[op]
 
-    gate = spec.pop("only_if", None)
-    only_type = spec.pop("only_type", None)
-    if only_type is not None:
-        gate = {"op": "==", "left": {"field": "type"}, "right": only_type}
+    # the reference's per-component message_filtering surface
+    # (base_component.js:165-247): only_type, only_field_exist_<name>,
+    # only_field_equal_<name>=<value> — ALL conditions must hold (AND)
+    gates = []
+    if (g := spec.pop("only_if", None)) is not None:
+        gates.append(g)
+    if (t := spec.pop("only_type", None)) is not None:
+        gates.append({"op": "==", "left": {"field": "type"}, "right": t})
+    import re as _re
+    for k in list(spec):
+        if m := _re.match(r"^only_field_exist_(.+)$", k):
+            spec.pop(k)
+            gates.append({"op": "!", "operand":
+                          {"op": "miss", "operand": {"field": m.group(1)}}})
+        elif m := _re.match(r"^only_field_equal_(.+)$", k):
+            gates.append({"op": "==", "left": {"field": m.group(1)},
+                          "right": spec.pop(k)})
+    gate = None
+    for g in gates:
+        gate = g if gate is None else {"op": "and", "left": gate, "right": g}
 
     def run(d: DataFrame) -> DataFrame:
         return fn(d, **spec)

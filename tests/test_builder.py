@@ -117,3 +117,22 @@ def test_unknown_op_raises(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(KeyError, match="unknown pipeline op"):
         build(df, [{"op": "nope"}])
+
+
+def test_only_field_exist_and_equal_gating(spark):
+    """base_component.js:165-247: only_field_exist_<name> gates on presence,
+    only_field_equal_<name>=<v> on string-equality; ALL conditions AND —
+    and they compose with only_type."""
+    df = spark.createDataFrame(
+        [("nginx", "u1", "x"), ("nginx", None, "x"),
+         ("nginx", "u1", "y"), ("apache", "u1", "x")],
+        "type string, user string, env string")
+    out = build(df, [{"op": "add_fields", "fields": {"hit": "1"},
+                      "only_type": "nginx",
+                      "only_field_exist_user": True,
+                      "only_field_equal_env": "x"}])
+    got = [(r.type, r.user, r.env, r.hit) for r in out.collect()]
+    assert got == [("nginx", "u1", "x", "1"),
+                   ("nginx", None, "x", None),    # user missing
+                   ("nginx", "u1", "y", None),    # env != x
+                   ("apache", "u1", "x", None)]   # wrong type
