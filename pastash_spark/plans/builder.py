@@ -119,13 +119,25 @@ def _apply_stage(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         gates.append({"op": "==", "left": {"field": "type"}, "right": t})
     import re as _re
     for k in list(spec):
+        # NB: the reference checks `!data[field]` — JS TRUTHINESS, so an
+        # empty string fails only_field_exist too; the bare {"field"} leaf
+        # compiles to exactly those semantics.  equal/match additionally
+        # require the field truthy before comparing (base_component.js
+        # processMessage).  (Divergence noted: the reference's equal is
+        # STRICT !==, so number-vs-string never matches; ours
+        # string-compares — identical on the string fields URL params
+        # actually gate on.)
         if m := _re.match(r"^only_field_exist_(.+)$", k):
             spec.pop(k)
-            gates.append({"op": "!", "operand":
-                          {"op": "miss", "operand": {"field": m.group(1)}}})
+            gates.append({"field": m.group(1)})
         elif m := _re.match(r"^only_field_equal_(.+)$", k):
-            gates.append({"op": "==", "left": {"field": m.group(1)},
-                          "right": spec.pop(k)})
+            gates.append({"op": "and", "left": {"field": m.group(1)},
+                          "right": {"op": "==", "left": {"field": m.group(1)},
+                                    "right": spec.pop(k)}})
+        elif m := _re.match(r"^only_field_match_(.+)$", k):
+            gates.append({"op": "and", "left": {"field": m.group(1)},
+                          "right": {"op": "=~", "left": {"field": m.group(1)},
+                                    "right": spec.pop(k)}})
     gate = None
     for g in gates:
         gate = g if gate is None else {"op": "and", "left": gate, "right": g}

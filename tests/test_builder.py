@@ -119,12 +119,13 @@ def test_unknown_op_raises(spark):
         build(df, [{"op": "nope"}])
 
 
-def test_only_field_exist_and_equal_gating(spark):
-    """base_component.js:165-247: only_field_exist_<name> gates on presence,
-    only_field_equal_<name>=<v> on string-equality; ALL conditions AND —
-    and they compose with only_type."""
+def test_only_field_exist_equal_match_gating(spark):
+    """base_component.js:165-247: only_field_exist_<name> gates on JS
+    TRUTHINESS (empty string fails too), only_field_equal_<name>=<v> on
+    equality, only_field_match_<name>=<re> on regex; ALL conditions AND —
+    composing with only_type."""
     df = spark.createDataFrame(
-        [("nginx", "u1", "x"), ("nginx", None, "x"),
+        [("nginx", "u1", "x"), ("nginx", None, "x"), ("nginx", "", "x"),
          ("nginx", "u1", "y"), ("apache", "u1", "x")],
         "type string, user string, env string")
     out = build(df, [{"op": "add_fields", "fields": {"hit": "1"},
@@ -134,5 +135,12 @@ def test_only_field_exist_and_equal_gating(spark):
     got = [(r.type, r.user, r.env, r.hit) for r in out.collect()]
     assert got == [("nginx", "u1", "x", "1"),
                    ("nginx", None, "x", None),    # user missing
+                   ("nginx", "", "x", None),      # empty = falsy = filtered
                    ("nginx", "u1", "y", None),    # env != x
                    ("apache", "u1", "x", None)]   # wrong type
+    m = build(df, [{"op": "add_fields", "fields": {"hit": "1"},
+                    "only_field_match_user": "^u[0-9]+$"}])
+    gotm = {(r.type, r.user, r.env): r.hit for r in m.collect()}
+    assert gotm == {("nginx", "u1", "x"): "1", ("nginx", None, "x"): None,
+                    ("nginx", "", "x"): None, ("nginx", "u1", "y"): "1",
+                    ("apache", "u1", "x"): "1"}
