@@ -319,6 +319,11 @@ _FOLLOWUPS = ("add_tags", "remove_tags", "add_fields", "remove_fields")
 
 def _plugin_to_spec(name: str, params: dict) -> list[dict]:
     params = dict(params)
+    # base_filter.js:40-56 aliases the singular forms
+    for alias, canon in (("add_field", "add_fields"),
+                         ("remove_field", "remove_fields")):
+        if alias in params and canon not in params:
+            params[canon] = params.pop(alias)
     followups: list[dict] = []
     for fu in _FOLLOWUPS:
         if fu in params:

@@ -321,6 +321,22 @@ class TestEndToEnd421:
         assert sorted(e["alert"] for e in final) == \
             ["ALERT cpu melted", "ALERT disk full"]
 
+    def test_add_field_singular_alias(self, spark):
+        """base_filter.js aliases add_field/remove_field to the plural
+        params on every filter."""
+        conf = """
+        filter {
+          noop { add_field => { extra => yes } }
+          noop { remove_field => extra2 }
+        }
+        output { file { path => o } }
+        """
+        df = msgs(spark, "m1").withColumn("extra2", F.lit("gone"))
+        out, _ = build_conf(df, conf)
+        r = out.first()
+        assert r.extra == "yes"
+        assert "extra2" not in out.columns
+
     def test_mutate_replace_and_noop_plugins(self, spark):
         """conf plugin names `mutate_replace` (param `from`) and `noop`
         resolve through the builder registry."""
