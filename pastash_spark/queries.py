@@ -1206,9 +1206,11 @@ WITH ev AS (
          value AS metric
   FROM events)
 SELECT correlation_id,
-       MIN(ts) AS created_at,
-       MAX(CASE WHEN event_name = 'CHANNEL_ANSWER' THEN ts END) AS answered_at,
-       MAX(CASE WHEN event_name = 'CHANNEL_DESTROY' THEN ts END) AS destroyed_at,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS created_s,
+       CAST(floor(epoch(MAX(CASE WHEN event_name = 'CHANNEL_ANSWER'
+                            THEN ts END))) AS BIGINT) AS answered_s,
+       CAST(floor(epoch(MAX(CASE WHEN event_name = 'CHANNEL_DESTROY'
+                            THEN ts END))) AS BIGINT) AS destroyed_s,
        COUNT(*) AS n_events,
        ROUND(AVG(metric), 6) AS avg_metric,
        MAX(CASE WHEN event_name = 'CHANNEL_ANSWER' THEN ts END) IS NOT NULL
@@ -1218,6 +1220,10 @@ SELECT correlation_id,
 FROM ev GROUP BY correlation_id
 """)
 def q_esl(spark, sf_dir):
+    """Gate projection serializes the three call timestamps as epoch
+    BIGINT — raw timestamps hash engine-differently in the driver
+    canonicalizer (the r01 multiline lesson); the operator itself still
+    returns typed timestamps."""
     ev = _t(spark, sf_dir, "events").select(
         F.concat(F.lit("call-"), F.col("user_id").cast("string"))
         .alias("correlation_id"),
@@ -1227,8 +1233,14 @@ def q_esl(spark, sf_dir):
         .when(F.col("event_type") == "error", "CHANNEL_DESTROY")
         .otherwise("MEDIA").alias("event_name"),
         F.col("value").alias("metric"))
-    return C.esl_correlate(ev).withColumn("avg_metric",
-                                          F.round("avg_metric", 6))
+    out = C.esl_correlate(ev).withColumn("avg_metric",
+                                         F.round("avg_metric", 6))
+    return out.select(
+        "correlation_id",
+        _epoch(F.col("created_at")).cast("long").alias("created_s"),
+        _epoch(F.col("answered_at")).cast("long").alias("answered_s"),
+        _epoch(F.col("destroyed_at")).cast("long").alias("destroyed_s"),
+        "n_events", "avg_metric", "answered", "duration_sec")
 
 
 @_q("condition_dsl_routing", """
