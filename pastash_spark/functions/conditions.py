@@ -60,6 +60,19 @@ def _force_string(c: Column) -> Column:
     return F.coalesce(c.cast("string"), F.lit(""))
 
 
+def _js_tostring(c: Column, dtype: T.DataType | None) -> Column:
+    """force_string with JS Number.toString semantics: an integral double
+    renders without the trailing '.0' ((2.0).toString() === '2'), unlike
+    Spark's double->string cast.  Mirrors mustache._js_str for literals."""
+    if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        d = c.cast("double")
+        s = F.when(d.isNotNull() & (d == F.floor(d)) & (F.abs(d) < 1e15),
+                   d.cast("long").cast("string")) \
+             .otherwise(d.cast("string"))
+        return F.coalesce(s, F.lit(""))
+    return _force_string(c)
+
+
 def truthy(c: Column, dtype: T.DataType | None = None) -> Column:
     """JS truthiness: null/''/0/false are falsy; everything else truthy."""
     if isinstance(dtype, T.BooleanType):
@@ -75,9 +88,12 @@ def truthy(c: Column, dtype: T.DataType | None = None) -> Column:
 
 
 def _js_str(v: Any) -> str:
-    """Literal -> its JS toString (booleans lowercase)."""
+    """Literal -> its JS toString (booleans lowercase, integral floats
+    without the trailing '.0' — Number.toString)."""
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
     return str(v)
 
 
@@ -127,14 +143,27 @@ def compile_condition(ast: Any, schema: T.StructType | None = None) -> Column:
         return ~(l & r)
 
     l_col, r_col = _leaf_or_sub(ast["left"], schema), _leaf_or_sub(ast["right"], schema)
+    l_dt = _leaf_dtype(ast["left"], schema) if _is_leaf(ast["left"]) else T.BooleanType()
+    r_dt = _leaf_dtype(ast["right"], schema) if _is_leaf(ast["right"]) else T.BooleanType()
 
     if op in ("==", "!="):
-        # force_string compare (condition_evaluator.js:66); missing -> ''
-        eq = _force_string(l_col) == _force_string(r_col)
+        # force_string compare (condition_evaluator.js:66); missing -> '';
+        # numbers stringify JS-style (integral doubles without '.0')
+        eq = _js_tostring(l_col, l_dt) == _js_tostring(r_col, r_dt)
         return eq if op == "==" else ~eq
     if op in (">", ">=", "<", "<="):
-        # never NULL: _parseint coerces NaN/missing to 0, like the reference
-        li, ri = _parseint(l_col), _parseint(r_col)
+        # force_number (condition_evaluator.js:49-61): a side that is
+        # already a number passes through unchanged (the jison lexer
+        # parseFloats numeric literals, logstash_config.jison:17, and
+        # `typeof x === 'number'` short-circuits parseInt), so floats keep
+        # their fraction; everything else goes through JS parseInt with
+        # NaN/missing coerced to 0 — never NULL either way.
+        def _force_number(c: Column, dt: T.DataType | None) -> Column:
+            if isinstance(dt, T.NumericType):
+                return F.coalesce(c.cast("double"), F.lit(0.0))
+            return _parseint(c).cast("double")
+
+        li, ri = _force_number(l_col, l_dt), _force_number(r_col, r_dt)
         return {">": li > ri, ">=": li >= ri,
                 "<": li < ri, "<=": li <= ri}[op]
     if op in ("=~", "!~"):
@@ -155,14 +184,14 @@ def compile_condition(ast: Any, schema: T.StructType | None = None) -> Column:
             if dt is not None and not isinstance(dt, T.ArrayType):
                 m = F.lit(False)
             else:
-                l_str = _force_string(l_col)
+                l_str = _js_tostring(l_col, l_dt)
                 m = F.coalesce(
                     F.exists(F.col(right["field"]),
                              lambda x: x.cast("string") == l_str),
                     F.lit(False))
         else:
             vals = [_js_str(v) for v in right]
-            m = _force_string(l_col).isin(vals)
+            m = _js_tostring(l_col, l_dt).isin(vals)
         return m if op == "in" else ~m
     raise ValueError(f"unknown condition op: {op!r}")
 

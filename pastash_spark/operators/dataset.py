@@ -127,12 +127,46 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
 
 # --- hot-group cap with observable drop metrics -------------------------------
 
-_CAP_OBSERVATIONS: dict[str, "Observation"] = {}
-_CAP_FALLBACKS: dict[str, DataFrame] = {}
+
+class CapHandle:
+    """Per-invocation drop-stats handle for one hot-group cap.
+
+    Returned to callers via the operators' ``stats_out`` dict so concurrent
+    or repeated pipelines each read their OWN invocation's numbers (a
+    name-keyed global would clobber).  ``get()`` caches the result and then
+    releases the fallback DataFrame reference, so a long-lived driver does
+    not accumulate query plans.
+    """
+
+    def __init__(self, metric: str, obs, fallback: DataFrame | None):
+        self.metric = metric
+        self._obs = obs
+        self._fallback = fallback
+        self._cached: dict | None = None
+
+    def get(self) -> dict:
+        """{'dropped_rows','dropped_groups','total_groups'} — call after an
+        action has run the observed query (the Observation path blocks
+        until then).  Falls back to a small standalone aggregation when AQE
+        empty-relation propagation pruned the observed branch."""
+        if self._cached is None:
+            try:
+                self._cached = dict(self._obs.get)
+            except Exception:
+                self._cached = (self._fallback.first().asDict()
+                                if self._fallback is not None else {})
+            self._obs = None
+            self._fallback = None  # release plan references once read
+        return dict(self._cached)
+
+
+# latest handle per metric name — the convenience path for single-pipeline
+# use (tests, bench); bounded: one live entry per metric, replaced per call
+_CAP_LATEST: dict[str, CapHandle] = {}
 
 
 def _cap_groups(keyed: DataFrame, keys: list[str], cap: int,
-                metric: str) -> DataFrame:
+                metric: str, stats_out: dict | None = None) -> DataFrame:
     """Drop groups with more than ``cap`` members — OBSERVABLY.
 
     A silent cap reads as "covered everything" when it didn't: at 100 TB an
@@ -165,38 +199,32 @@ def _cap_groups(keyed: DataFrame, keys: list[str], cap: int,
          .cast("long").alias("dropped_groups"),
         F.round(F.coalesce(F.sum(1.0 / F.col("_grp_n")), F.lit(0.0)))
          .cast("long").alias("total_groups"))
-    _CAP_OBSERVATIONS[metric] = obs
     # Degenerate-input escape hatch: if the cap drops EVERYTHING, AQE's
     # empty-relation propagation can prune the whole observed branch from
     # the final plan and the metrics row comes back empty — exactly the run
     # where the numbers matter most.  Keep a tiny standalone aggregation
-    # over the group counts; cap_drop_stats runs it (one extra small job,
+    # over the group counts; CapHandle.get runs it (one extra small job,
     # diagnostics path only) when the in-query observation is unavailable.
-    _CAP_FALLBACKS[metric] = counts.select(
+    fallback = counts.select(
         F.coalesce(F.sum(F.when(dropped, F.col("_grp_n"))), F.lit(0))
          .alias("dropped_rows"),
         F.coalesce(F.sum(F.when(dropped, 1)), F.lit(0))
          .alias("dropped_groups"),
         F.count(F.lit(1)).alias("total_groups"))
+    handle = CapHandle(metric, obs, fallback)
+    _CAP_LATEST[metric] = handle
+    if stats_out is not None:
+        stats_out[metric] = handle
     return annotated.filter(~dropped).drop("_grp_n")
 
 
 def cap_drop_stats(metric: str) -> dict:
-    """Drop stats for a named cap after an action has run the query:
-    {'dropped_rows', 'dropped_groups', 'total_groups'}.  Zero-cost path:
-    the in-query Observation.  If that was lost (observed branch pruned by
-    AQE empty-relation propagation), recomputes from the stored group-count
-    plan as a separate small job.  Empty dict if the metric never
-    registered.  NOTE: the Observation path blocks until the observed query
-    finishes; call after the action."""
-    obs = _CAP_OBSERVATIONS.get(metric)
-    if obs is None:
-        return {}
-    try:
-        return dict(obs.get)
-    except Exception:
-        fb = _CAP_FALLBACKS.get(metric)
-        return fb.first().asDict() if fb is not None else {}
+    """Drop stats of the LATEST invocation of a named cap (convenience for
+    single-pipeline use); empty dict if the metric never registered.
+    Concurrent/repeated pipelines should pass ``stats_out`` to the operator
+    and read their own CapHandle instead."""
+    h = _CAP_LATEST.get(metric)
+    return h.get() if h is not None else {}
 
 
 # --- minhash + LSH -----------------------------------------------------------
@@ -254,7 +282,8 @@ def minhash_signature(col: str = "text", k: int = 3,
 def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                       col: str = "text", k: int = 3, n_hashes: int = 64,
                       bands: int = 16,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      stats_out: dict | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-slice of the
     minhash signature -> same bucket -> pair.  rows_per_band = n_hashes/bands.
 
@@ -288,7 +317,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket is not None:
         banded = _cap_groups(banded, ["band", "bucket"], max_bucket,
-                             "minhash_lsh_max_bucket")
+                             "minhash_lsh_max_bucket", stats_out)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
                    (F.col("a.bucket") == F.col("b.bucket")) &
@@ -300,7 +329,8 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
 def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
                   k: int = 3, threshold: float = 0.7, n_hashes: int = 64,
                   bands: int = 16, exact_first: bool = True,
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = None,
+                  stats_out: dict | None = None) -> DataFrame:
     """LSH candidates verified by exact jaccard — rows that survive dedup.
     Survivor = smaller id of each confirmed pair wins; every id that appears
     as a bigger-id duplicate is dropped.
@@ -322,7 +352,7 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
         work = df
     cand = minhash_lsh_pairs(work, id_col=id_col, col=col, k=k,
                              n_hashes=n_hashes, bands=bands,
-                             max_bucket=max_bucket)
+                             max_bucket=max_bucket, stats_out=stats_out)
     cand_docs = (work.join(cand.select(F.col("id_a").alias(id_col)).union(
         cand.select(F.col("id_b").alias(id_col))).distinct(), id_col))
     verified = ngram_jaccard_pairs(cand_docs, id_col=id_col, col=col, k=k,
@@ -394,7 +424,8 @@ def simhash60_portable(col: str = "text") -> Column:
 
 def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
                        col: str = "text", max_hamming: int = 3,
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       stats_out: dict | None = None) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, blocked on CHUNK PAIRS:
     the 60-bit portable simhash splits into 6 chunks of 10 bits; hamming<=3
     flips at most 3 chunks, so at least 3 chunks are equal and hence at
@@ -425,7 +456,7 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
         .select("id", "sh", "c.blk", "c.val")
     if max_bucket is not None:
         blocks = _cap_groups(blocks, ["blk", "val"], max_bucket,
-                             "simhash_max_bucket")
+                             "simhash_max_bucket", stats_out)
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
                     (F.col("a.val") == F.col("b.val")) &
@@ -485,7 +516,8 @@ def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
 def winnow_containment_pairs(df: DataFrame, *, id_col: str = "doc_id",
                              col: str = "text", k: int = 3, window: int = 4,
                              min_shared: int = 5,
-                             max_posting: int | None = None) -> DataFrame:
+                             max_posting: int | None = None,
+                             stats_out: dict | None = None) -> DataFrame:
     """Containment / plagiarism-style candidate pairs: docs sharing at least
     ``min_shared`` winnowing fingerprints.  The sketch is an inverted index
     (fp -> docs); candidates come from the posting-list self-equi-join —
@@ -494,7 +526,8 @@ def winnow_containment_pairs(df: DataFrame, *, id_col: str = "doc_id",
     hot-bucket guards do."""
     fps = winnow_fingerprints(df, id_col=id_col, col=col, k=k, window=window)
     if max_posting is not None:
-        fps = _cap_groups(fps, ["fp"], max_posting, "winnow_max_posting")
+        fps = _cap_groups(fps, ["fp"], max_posting, "winnow_max_posting",
+                          stats_out)
     a, b = fps.alias("a"), fps.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp")) &
                    (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -272,27 +272,44 @@ SYSLOG_SEVERITIES = [
 
 
 def syslog_pri(df: DataFrame, *, field: str = "syslog_pri",
-               prefix: str = "syslog_") -> DataFrame:
+               prefix: str = "syslog_",
+               severity_field: str | None = None,
+               facility_field: str | None = None) -> DataFrame:
     """Decode priority int: severity = pri & 7, facility = pri >> 3, plus
     label lookup (filter_syslog_pri.js:59-67).  Pure bitwise + array index —
     no join needed for a static 31-entry vocabulary.  Out-of-range values
     stay undecoded (the reference's `> -1 && < 192` guard,
-    filter_syslog_pri.js:60), as do non-numeric ones."""
+    filter_syslog_pri.js:60), as do non-numeric ones.
+
+    Field layout: the reference's severity_field/facility_field params
+    (optional_params, filter_syslog_pri.js:11-15) name the columns that
+    receive the LABELS (it writes only labels, defaulting to
+    syslog_severity/syslog_facility).  This port's default layout is a
+    documented superset-divergence: numeric codes in {prefix}severity /
+    {prefix}facility, labels in {prefix}severity_name / *_facility_name.
+    Pass severity_field/facility_field explicitly (e.g. 'syslog_severity')
+    to get the reference's exact label-in-that-column behavior — the
+    numeric column is then skipped when the names collide."""
     pri0 = F.col(field).try_cast("int")   # non-numeric -> NULL, not ANSI error
     pri = F.when((pri0 >= 0) & (pri0 < 192), pri0)
     sev = pri.bitwiseAND(F.lit(7))
     fac = F.shiftright(pri, 3)
     sev_labels = F.array(*[F.lit(s) for s in SYSLOG_SEVERITIES])
     fac_labels = F.array(*[F.lit(s) for s in SYSLOG_FACILITIES])
-    return (df
-            .withColumn(prefix + "severity", sev)
-            .withColumn(prefix + "facility", fac)
-            # explicit null guard: element_at(arr, NULL) resolves like a
-            # negative index (returns the LAST element), not NULL
-            .withColumn(prefix + "severity_name",
+    sev_name_col = severity_field or (prefix + "severity_name")
+    fac_name_col = facility_field or (prefix + "facility_name")
+    out = df
+    if prefix + "severity" != sev_name_col:
+        out = out.withColumn(prefix + "severity", sev)
+    if prefix + "facility" != fac_name_col:
+        out = out.withColumn(prefix + "facility", fac)
+    # explicit null guard: element_at(arr, NULL) resolves like a
+    # negative index (returns the LAST element), not NULL
+    return (out
+            .withColumn(sev_name_col,
                         F.when(sev.isNotNull(),
                                F.element_at(sev_labels, sev + 1)))
-            .withColumn(prefix + "facility_name",
+            .withColumn(fac_name_col,
                         F.when(fac.isNotNull() & (fac < len(SYSLOG_FACILITIES)),
                                F.element_at(fac_labels, fac + 1))))
 

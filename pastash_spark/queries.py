@@ -1247,14 +1247,15 @@ def q_esl(spark, sf_dir):
 SELECT event_id,
        (CAST(user_id AS VARCHAR) = '7'
         OR (regexp_matches(CAST(event_type AS VARCHAR), '^p')
-            AND COALESCE(CAST(regexp_extract(CAST(value AS VARCHAR),
-                         '^\\s*([+-]?[0-9]+)', 1) AS BIGINT) > 20, FALSE)))
+            AND COALESCE(CAST(value AS DOUBLE), 0.0) > 20.0))
        AS hit
 FROM events
 """)
 def q_condition_dsl(spark, sf_dir):
     """Exercises the condition compiler quirks: == string-compare,
-    =~ regex, > parseInt coercion (condition_evaluator.js:49-66)."""
+    =~ regex, > force_number coercion — `value` is a NUMERIC column, so it
+    passes through with its fraction intact (typeof x === 'number' guard,
+    condition_evaluator.js:49-61); only non-numeric operands parseInt."""
     from pastash_spark.functions.conditions import compile_condition
     ev = _t(spark, sf_dir, "events")
     ast = {"op": "or",

@@ -163,6 +163,15 @@ def tail_new_lines(spark: SparkSession, pattern: str,
     first = Window.partitionBy("path").orderBy("line_no")
     lines = lines.withColumn(
         "marker", F.first(F.md5("message")).over(first))
+    # ONE materialized snapshot feeds BOTH the commit totals and the
+    # returned `fresh` frame: without it, `fresh` would lazily re-read the
+    # files during the caller's sink write, and lines appended between the
+    # totals job and that write would be ingested but not committed —
+    # silently re-ingested (duplicated) on the next pass, beyond the
+    # documented crash-window contract.  localCheckpoint(eager) pins the
+    # read once; the glob is this pass's new-log slice, so the snapshot is
+    # bounded by the tail size, not history.
+    lines = lines.localCheckpoint(eager=True)
     state = F.broadcast(log.state().withColumnRenamed("rows_read", "_done"))
     fresh = (lines.join(state, "marker", "left")
              .filter(F.col("line_no") > F.coalesce(F.col("_done"), F.lit(0)))

@@ -112,6 +112,38 @@ def test_condition_missing_field_comparisons_false(spark):
     assert df.select(compile_condition(ast).alias("c")).first().c is False
 
 
+def test_condition_numeric_sides_keep_fraction(spark):
+    """force_number passes through values that are already numbers
+    (condition_evaluator.js:49 `typeof x === 'number'`), and the jison
+    lexer parseFloats numeric literals — so `[x] > 2.5` with x=2.6 is
+    TRUE (NOT parseInt-truncated to 2 > 2)."""
+    df = spark.createDataFrame([(2.6,)], "x double")
+    gt = {"op": ">", "left": {"field": "x"}, "right": 2.5}
+    lt = {"op": "<", "left": {"field": "x"}, "right": 2.5}
+    assert df.select(compile_condition(gt, df.schema).alias("c")).first().c is True
+    assert df.select(compile_condition(lt, df.schema).alias("c")).first().c is False
+    # a STRING side still goes through parseInt: "2.6" -> 2, so 2 > 2.5 false
+    df2 = spark.createDataFrame([("2.6",)], "x string")
+    assert df2.select(compile_condition(gt, df2.schema).alias("c")).first().c is False
+    # NULL in a numeric column still coerces to 0, never NULL
+    df3 = spark.createDataFrame([(None,)], "x double")
+    ge0 = {"op": ">=", "left": {"field": "x"}, "right": 0}
+    assert df3.select(compile_condition(ge0, df3.schema).alias("c")).first().c is True
+
+
+def test_condition_integral_double_stringifies_js_style(spark):
+    """(2.0).toString() === '2' in JS, so `[x] == "2"` with double x=2.0
+    is TRUE; same rule inside `in` literal lists."""
+    df = spark.createDataFrame([(2.0,)], "x double")
+    eq = {"op": "==", "left": {"field": "x"}, "right": "2"}
+    assert df.select(compile_condition(eq, df.schema).alias("c")).first().c is True
+    frac = spark.createDataFrame([(2.5,)], "x double")
+    eq25 = {"op": "==", "left": {"field": "x"}, "right": "2.5"}
+    assert frac.select(compile_condition(eq25, frac.schema).alias("c")).first().c is True
+    inl = {"op": "in", "left": {"field": "x"}, "right": [2.0, 3.0]}
+    assert df.select(compile_condition(inl, df.schema).alias("c")).first().c is True
+
+
 def test_condition_in_array_field_ref(spark):
     """`"x" in [tags]` = membership in the tags ARRAY column (string-compare
     per element), mirroring condition_evaluator.js's array right-side."""

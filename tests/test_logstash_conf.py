@@ -431,6 +431,26 @@ class TestEndToEnd421:
         assert recs[0]["message"].splitlines()[0].lstrip(": ").startswith("send")
         assert "200 OK" in recs[1]["message"]
 
+    def test_syslog_pri_severity_facility_fields(self, spark):
+        """filter_syslog_pri.js optional_params severity_field /
+        facility_field: the named columns receive the LABELS (the
+        reference writes labels, not numbers, into them)."""
+        conf = """
+        filter {
+          syslog_pri {
+            priority_field => pri
+            severity_field => syslog_severity
+            facility_field => syslog_facility
+          }
+        }
+        """
+        df = msgs(spark, "m").withColumn("pri", F.lit(134))
+        out, _ = build_conf(df, conf)
+        r = out.first()
+        # 134 = facility 16 (local0), severity 6 (informational)
+        assert r["syslog_severity"] == "informational"
+        assert r["syslog_facility"] == "local0"
+
     def test_conditional_outputs_partition_rows(self, spark):
         """if/else-if/else over outputs = mutually-exclusive routed sinks."""
         conf = """
