@@ -509,16 +509,19 @@ def netflow_v9(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
              "last_switched"]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over plain column arrays, not pdf.iterrows(): building a
+        # pandas Series per row costs 10-100x the dissection itself
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                p = row[payload_col]
+            for p, *passthru in zip(pdf[payload_col].to_numpy(),
+                                    *(pdf[k].to_numpy() for k in keep)):
                 if p is None:
                     continue
                 try:
                     sid, local_t, datasets = _nf9_parse_packet(bytes(p))
                 except Exception:
                     continue
+                carried = dict(zip(keep, passthru))
                 for tid, body in datasets:
                     layout = local_t.get(tid) or templates.get((sid, tid))
                     if layout is None:
@@ -545,7 +548,7 @@ def netflow_v9(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
                                 rec[name] = val
                             else:
                                 rec["extras"][str(ftype)] = raw.hex()
-                        out.append({**{k: row[k] for k in keep}, **rec})
+                        out.append({**carried, **rec})
             yield pd.DataFrame(out) if out else pd.DataFrame(
                 columns=keep + ["source_id", "ipv4_src_addr",
                                 "ipv4_dst_addr", "l4_src_port",
@@ -668,19 +671,21 @@ def sflow_v5(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
             "protocol", "src_port", "dst_port"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over column arrays (iterrows builds a Series per row — 10-100x
+        # the cost of the dissection)
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                p = row[payload_col]
+            for p, *passthru in zip(pdf[payload_col].to_numpy(),
+                                    *(pdf[k].to_numpy() for k in keep)):
                 if p is None:
                     continue
                 try:
                     agent, flows = _sflow_parse_datagram(bytes(p))
                 except Exception:
                     continue
+                carried = dict(zip(keep, passthru))
                 for fl in flows:
-                    out.append({**{k: row[k] for k in keep},
-                                "agent": agent, **fl})
+                    out.append({**carried, "agent": agent, **fl})
             yield (pd.DataFrame(out) if out
                    else pd.DataFrame(columns=keep + cols))
 
@@ -868,3 +873,56 @@ def rfc3339(df: DataFrame, *, source: str, mode: int = 0,
         raise ValueError(f"rfc3339: unknown mode {mode}")
     return df.withColumn(
         target, F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+
+
+# --- app_cdr_kamailio ---------------------------------------------------------
+
+KAMAILIO_CDR_FIELDS = ("call_id", "from_tag", "to_tag", "start_time",
+                       "end_time", "duration", "setuptime", "created")
+
+
+def app_cdr_kamailio(df: DataFrame, *, field: str = DEFAULT_FIELD,
+                     fields: Sequence[str] = KAMAILIO_CDR_FIELDS,
+                     keep_cols: Sequence[str] = (),
+                     keep_map: bool = False) -> DataFrame:
+    """Kamailio `acc` CDR log parse (plugins/filters/app_cdr_kamailio/
+    filter_app_cdr_kamailio.js:27-41): lines containing ``cdr(): `` re-emit
+    as a NEW event holding the ``;``-separated ``k=v`` pairs; every other
+    line DROPS (the reference's process() returns undefined for them).
+
+    JS-split quirks preserved: keys are ``.trim()``-ed, and the value is
+    the piece between the first and second ``=`` (``row.split('=')[1]``) —
+    so ``a=b=c`` yields ``b``.  A key present without a value yields '',
+    a key absent from the line yields NULL (undefined).
+
+    Pure codegen: one contains-filter + per-field anchored regexp_extract
+    over the CDR body; ``keep_map`` adds the full pair list as a map for
+    schema-free consumers (later duplicate keys win, like JS assignment).
+    ``keep_cols`` carries named input columns through (the reference
+    replaces the event wholesale — the default here too).
+    """
+    import re as _re_mod
+    body = F.regexp_extract(F.col(field), r"cdr\(\): (.*)", 1)
+    rows = df.filter(F.col(field).contains("cdr(): "))
+    sel: list[Column] = [F.col(c) for c in keep_cols]
+    for name in fields:
+        pat = r"(?:^|;)\s*" + _re_mod.escape(name) + r"\s*=([^;=]*)"
+        sel.append(F.when(body.rlike(pat),
+                          F.regexp_extract(body, pat, 1)).alias(name))
+    if not keep_map:
+        return rows.select(*sel)
+    # last-wins duplicate handling like JS object assignment: reverse the
+    # pair array, keep the first occurrence per trimmed key.  The pair
+    # array materializes as a column FIRST so the dedup lambda references
+    # it by name instead of re-evaluating the split per element (the
+    # HOF-lambda re-evaluation trap).
+    pairs = F.transform(
+        F.reverse(F.split(body, ";")),
+        lambda r: F.struct(F.trim(F.get(F.split(r, "="), 0)).alias("key"),
+                           F.get(F.split(r, "="), 1).alias("value")))
+    out = rows.select(*sel, pairs.alias("_pairs"))
+    p = F.col("_pairs")
+    dedup = F.filter(
+        p, lambda e, i: ~F.exists(F.slice(p, 1, i),
+                                  lambda q: q["key"] == e["key"]))
+    return out.withColumn("cdr", F.map_from_entries(dedup)).drop("_pairs")
