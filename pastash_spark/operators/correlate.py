@@ -342,3 +342,360 @@ def app_sonus_reassemble(df: DataFrame, *, source: str = "path",
             .withColumn("correlation_id",
                         F.regexp_extract("payload", corr_regex, 1))
             .drop("_grp"))
+
+
+# --- app_rtpproxy -------------------------------------------------------------
+
+# RTPmap payload-type table (filter_app_rtpproxy.js:10-29 — the public RFC
+# 3551 static assignments the reference hardcodes); unknown pt -> 'Dynamic'.
+RTP_CODEC_MAP = {0: "PCMU", 3: "GSM", 8: "PCMA", 9: "G722", 18: "G729",
+                 34: "H263", 101: "Telephony-Event"}
+
+
+def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
+                           order: str = "line_no") -> DataFrame:
+    """RTPProxy debug-log correlation (plugins/filters/app_rtpproxy/
+    filter_app_rtpproxy.js:55-134): the reference keeps a driver-side
+    ``ipcache`` keyed by command token (and a port->token alias map) across
+    lines; replies complete the cached session and emit a call-correlation
+    object.  Relational re-expression — the caches become AS-OF JOINS on
+    (token | port) ordered by ``order``:
+
+      * ``received command "<token> [US|U|L]c<codecs> <corr>`` rows CREATE a
+        session: first codec -> RTPmap name/rate/pt, direction L->1 else 0
+        (:58-74)
+      * ``new session on IPv4 port <port> created ... tag <token>`` rows
+        publish the port->token alias (:80-84)
+      * ``rtpc_doreply: sending reply "<port> <ip>\\n"`` resolves its token
+        THROUGH the alias (:86-100); plain ``sending reply "<token> <port>
+        <ip>#012`` is keyed directly (:102-115).  Either emits one
+        method='create' row with the reply's port/ip joined to the LATEST
+        prior create for that token — and consumes it (the reference nulls
+        the cache entry), so each create pairs with at most its FIRST
+        following reply: groupBy (token, create_order) min(reply_order).
+      * ``session on ports <p1>/<p2> is cleaned up`` emits method='delete'
+        clones of the session(s) last seen on those ports (:117-133 —
+        NOTE: in the reference this branch is dead-by-construction, since
+        both reply branches null the cache entry before cleanup can see a
+        port; we implement the documented intent).
+
+    Output: one row per emitted correlation object — (method,
+    correlation_id, token, codec_name, codec_pt, codec_rate, direction,
+    port, ip, `order`).  Everything is equi-joins + windows; the token/port
+    keys are high-cardinality, so the shuffles stay balanced at scale.
+    """
+    msg = F.col(field)
+    cmd_re = r'received command "(.*)\s+(US|U|L)c(.*?)\s(.*?)\s'
+    creates = (df.filter(msg.contains("received command "))
+               .select(F.regexp_extract(msg, cmd_re, 1).alias("token"),
+                       F.regexp_extract(msg, cmd_re, 2).alias("_mode"),
+                       F.regexp_extract(msg, cmd_re, 3).alias("_codecs"),
+                       F.regexp_extract(msg, cmd_re, 4)
+                        .alias("correlation_id"),
+                       F.col(order).alias("_c_ord"))
+               .filter(F.col("token") != ""))
+    pt = F.get(F.split(F.col("_codecs"), ","), 0).try_cast("int")
+    codec_pairs = []
+    for k, v in RTP_CODEC_MAP.items():
+        codec_pairs.extend([F.lit(k), F.lit(v)])
+    codec_map = F.create_map(*codec_pairs)
+    creates = creates.select(
+        "token", "correlation_id", "_c_ord",
+        F.coalesce(codec_map[pt], F.lit("Dynamic")).alias("codec_name"),
+        F.coalesce(pt, F.lit(None)).alias("codec_pt"),
+        F.lit(8000).alias("codec_rate"),
+        F.when(F.col("_mode") == "L", 1).otherwise(0).alias("direction"))
+
+    alias_re = r"new session on IPv4 port\s+(.*) created.*tag\s+(.*)"
+    aliases = (df.filter(msg.contains("new session on IPv4 port "))
+               .select(F.regexp_extract(msg, alias_re, 1).alias("_a_port"),
+                       F.regexp_extract(msg, alias_re, 2).alias("_a_token"),
+                       F.col(order).alias("_a_ord"))
+               .filter(F.col("_a_port") != ""))
+
+    # reply branch precedence mirrors the reference's if/else chain
+    is_doreply = msg.contains("rtpc_doreply: sending reply ")
+    dore_re = r'rtpc_doreply: sending reply "(.*)\s+([0-9.].*)\\n"'
+    do_replies = (df.filter(is_doreply)
+                  .select(F.regexp_extract(msg, dore_re, 1).alias("_r_port"),
+                          F.regexp_extract(msg, dore_re, 2).alias("ip"),
+                          F.col(order).alias("_r_ord"))
+                  .filter(F.col("_r_port") != ""))
+    # port -> token through the LATEST prior alias publication
+    do_replies = (do_replies.join(
+        aliases, (F.col("_a_port") == F.col("_r_port"))
+        & (F.col("_a_ord") < F.col("_r_ord")), "inner"))
+    w_last_alias = Window.partitionBy("_r_ord").orderBy(F.col("_a_ord").desc())
+    do_replies = (do_replies
+                  .withColumn("_rn", F.row_number().over(w_last_alias))
+                  .filter(F.col("_rn") == 1)
+                  .select(F.col("_a_token").alias("token"),
+                          F.col("_r_port").alias("port"), "ip", "_r_ord"))
+
+    rep_re = r'sending reply "(.*)\s+(.*?)\s(.*?)#012'
+    tok_replies = (df.filter(msg.contains("sending reply ") & ~is_doreply)
+                   .select(F.regexp_extract(msg, rep_re, 1).alias("token"),
+                           F.regexp_extract(msg, rep_re, 2).alias("port"),
+                           F.regexp_extract(msg, rep_re, 3).alias("ip"),
+                           F.col(order).alias("_r_ord"))
+                   .filter(F.col("token") != ""))
+    replies = do_replies.unionByName(tok_replies)
+
+    # as-of pair: each reply takes the latest create at or before it...
+    paired = replies.join(creates,
+                          (replies["token"] == creates["token"])
+                          & (F.col("_c_ord") < F.col("_r_ord")), "inner") \
+        .drop(creates["token"])
+    w_asof = Window.partitionBy("token", "_r_ord").orderBy(F.col("_c_ord").desc())
+    paired = (paired.withColumn("_rn", F.row_number().over(w_asof))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    # ...and each create is CONSUMED by its first reply (cache nulled)
+    w_first = Window.partitionBy("token", "_c_ord").orderBy(F.col("_r_ord"))
+    paired = (paired.withColumn("_rn", F.row_number().over(w_first))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    created = paired.select(
+        F.lit("create").alias("method"), "correlation_id", "token",
+        "codec_name", "codec_pt", "codec_rate", "direction", "port", "ip",
+        F.col("_r_ord").alias(order))
+
+    # cleanup: method='delete' clone of the session last seen on each port
+    clean_re = r"session on ports (.*)/(.*?)\sis cleaned up"
+    cleans = (df.filter(msg.contains("is cleaned up"))
+              .select(F.explode(F.array(
+                  F.regexp_extract(msg, clean_re, 1),
+                  F.regexp_extract(msg, clean_re, 2))).alias("_d_port"),
+                  F.col(order).alias("_d_ord"))
+              .filter(F.col("_d_port") != ""))
+    dels = cleans.join(created.withColumnRenamed(order, "_e_ord"),
+                       (F.col("port") == F.col("_d_port"))
+                       & (F.col("_e_ord") < F.col("_d_ord")), "inner")
+    w_lastsess = Window.partitionBy("_d_ord", "_d_port") \
+        .orderBy(F.col("_e_ord").desc())
+    dels = (dels.withColumn("_rn", F.row_number().over(w_lastsess))
+            .filter(F.col("_rn") == 1)
+            .select(F.lit("delete").alias("method"), "correlation_id",
+                    "token", "codec_name", "codec_pt", "codec_rate",
+                    "direction", "port", "ip",
+                    F.col("_d_ord").alias(order)))
+    return created.unionByName(dels)
+
+
+# --- app_audiocodes -----------------------------------------------------------
+
+def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
+                             order: str = "line_no",
+                             key: "Sequence[str] | None" = None,
+                             localip: str = "127.0.0.1",
+                             localport: int = 5060,
+                             correlation_hdr: str | None = None,
+                             logs: bool = False, qos: bool = True) -> DataFrame:
+    """AudioCodes SBC syslog -> SIP/HEP correlation (plugins/filters/
+    app_audiocodes/filter_app_audiocodes.js, default version
+    7.20A.260.012).  The reference keeps driver-side state across lines —
+    a one-packet reassembly hold (``hold``/``cache``/``seq``, :135-145),
+    and an SID -> Call-ID LRU (``sidcache``, :271-273 set, :348 get).
+    Batch re-expression, one output row per emitted HEP-able object:
+
+      * ``Incoming/Outgoing SIP Message`` lines (:150-279) parse remote
+        ``ip:port`` + the ``#012``-separated SIP payload; direction decides
+        src/dst vs the local interface; Call-ID comes from the payload
+        (``call-id:`` match, compact or full) falling back to the line's
+        ``[SID=mac:seq:sid]`` sid; ``2.0/TCP``/``2.0/TLS`` in the payload
+        flips protocol 17 -> 6 (:96-99).  proto_type=1 (SIP).
+      * Fragmented messages — the SIP-message regex fails on the line —
+        merge with the NEXT line when its ``[S=n]`` sequence is exactly
+        one higher (:135-145): a lead() window over ``order``, one
+        continuation packet like the reference's single ``cache`` slot.
+      * ``MEDIA_END`` lines (:294-341, qos=True) split on ``|`` into the
+        QoS vector and emit TWO proto_type=35 rows (A-leg / B-leg) whose
+        payload is the reference's JSON report — MOS = 4.5*int(q)/127,
+        REPORT_NAME, reversed ip:port pairs for the B-leg.
+      * ``CALL_END`` lines (:287-292, logs=True) emit one proto_type=100
+        row with the JSON field vector; other SID-carrying lines
+        (logs=True, :342-351) emit proto_type=100 raw-line rows whose
+        correlation id resolves through the SID->Call-ID as-of fill
+        (the sidcache twin) with src/dst local:514.
+
+    INI interface resolution (:44-55) is config-file plumbing, not data
+    flow — out of scope (``localip``/``localport`` cover the resolved
+    values).  Output: (`order`, sid, proto_type, payload, correlation_id,
+    src_ip, src_port, dst_ip, dst_port, protocol).
+    """
+    line0 = F.regexp_replace(F.col(field), r"\r\n", "#012")
+    sid_re = r"\[SID=(.*?):(.*?):(.*?)\]"
+    s_re = r"\[S=([0-9]+)\]"
+    in_re = (r"(.*)---- Incoming SIP Message from (.*) to SIPInterface "
+             r"#[0-9] \((.*)\) (.*) TO.*---\s?#012(.*)#012\s?#012(.*)")
+    out_re = (r"(.*)---- Outgoing SIP Message to (.*) from SIPInterface "
+              r"#[0-9] \((.*)\) (.*) TO.*---\s?#012(.*)#012\s?#012 ?(.*)")
+
+    # ``key`` partitions the reassembly stream (one device/file per
+    # partition — pass e.g. ["path"]); None = single global stream like the
+    # reference's one-agent state, fine for a landing zone per device but a
+    # single-partition sort at scale — partition it there.
+    w_seq = (Window.partitionBy(*key) if key else Window.partitionBy()) \
+        .orderBy(F.col(order))
+    base = (df.select(*(key or ()), F.col(order), line0.alias("_l"))
+            .withColumn("_s", F.regexp_extract(F.col("_l"), s_re, 1)
+                        .try_cast("long"))
+            .withColumn("sid", F.regexp_extract(F.col("_l"), sid_re, 3)))
+    is_sipline = (F.col("_l").contains("Incoming SIP Message")
+                  | F.col("_l").contains("Outgoing SIP Message"))
+    matches = F.col("_l").rlike(in_re) | F.col("_l").rlike(out_re)
+    # one-slot reassembly: a failed SIP line + the next [S=n+1] line
+    nxt = F.lead("_l", 1).over(w_seq)
+    nxt_s = F.lead("_s", 1).over(w_seq)
+    nxt_tail = F.regexp_extract(
+        nxt, r".*\[S=[0-9]+\].*?\[SID=.*?\]\s?(.*)\[Time:.*\]", 1)
+    merged = F.concat(F.regexp_replace(F.col("_l"), r"\[Time.*\]$", ""),
+                      F.coalesce(nxt_tail, F.lit("")))
+    base = base.withColumn(
+        "_line",
+        F.when(is_sipline & ~matches & (nxt_s == F.col("_s") + 1), merged)
+         .otherwise(F.col("_l")))
+    # a line consumed as a continuation must not emit again
+    prev_l = F.lag("_l", 1).over(w_seq)
+    prev_s = F.lag("_s", 1).over(w_seq)
+    prev_incomplete = (prev_l.contains("SIP Message")
+                       & ~(prev_l.rlike(in_re) | prev_l.rlike(out_re))
+                       & (prev_s == F.col("_s") - 1))
+    base = base.withColumn("_consumed",
+                           F.coalesce(prev_incomplete, F.lit(False)))
+
+    l = F.col("_line")
+    incoming = l.rlike(in_re)
+    outgoing = l.rlike(out_re)
+    remote = F.when(incoming, F.regexp_extract(l, in_re, 2)) \
+              .otherwise(F.regexp_extract(l, out_re, 2))
+    raw_pay = F.when(incoming, F.regexp_extract(l, in_re, 5)) \
+               .otherwise(F.regexp_extract(l, out_re, 5))
+    # postProcess (:57-60): #012 -> CRLF, trim, terminal CRLFCRLF
+    payload = F.concat(
+        F.trim(F.regexp_replace(F.concat(raw_pay, F.lit("#012 #012")),
+                                "#012", "\r\n")), F.lit("\r\n\r\n"))
+    callid = F.regexp_extract(payload, r"(?i)call-id:\s?(.*?)\s?\r\n", 1)
+    corr = F.when(callid != "", callid).otherwise(F.col("sid"))
+    if correlation_hdr:
+        xcid = F.regexp_extract(
+            payload, correlation_hdr + r":\s?(.*)\r\n\r\n", 1)
+        corr = F.when(payload.startswith("INVITE") & (xcid != ""), xcid) \
+                .otherwise(corr)
+    proto = F.when(payload.contains("2.0/TCP")
+                   | payload.contains("2.0/TLS"), 6).otherwise(17)
+    r_ip = F.get(F.split(remote, ":"), 0)
+    r_port = F.get(F.split(remote, ":"), 1).try_cast("int")
+    sip_rows = (base.filter((incoming | outgoing) & ~F.col("_consumed"))
+                .select(
+        F.col(order), "sid", F.lit(1).alias("proto_type"),
+        payload.alias("payload"), corr.alias("correlation_id"),
+        F.when(incoming, r_ip).otherwise(F.lit(localip)).alias("src_ip"),
+        F.when(incoming, r_port).otherwise(F.lit(localport)).cast("int")
+         .alias("src_port"),
+        F.when(incoming, F.lit(localip)).otherwise(r_ip).alias("dst_ip"),
+        F.when(incoming, F.lit(localport)).otherwise(r_port).cast("int")
+         .alias("dst_port"),
+        proto.alias("protocol")))
+
+    outs = [sip_rows]
+    schema_cols = ["proto_type", "payload", "correlation_id", "src_ip",
+                   "src_port", "dst_ip", "dst_port", "protocol"]
+
+    if qos:
+        # MEDIA_END: '|'-separated vector; 25-field variants drop idx 15
+        # then idx 5 (:299-302) so both shapes index identically
+        toks0 = F.filter(
+            F.transform(F.split(l, r"\|"), lambda x: F.trim(x)),
+            lambda x: F.length(x) > 1)
+        media = (base.filter(l.contains("MEDIA_END ") & ~F.col("_consumed"))
+                 .withColumn("_q0", toks0))
+        q0 = F.col("_q0")
+        fixed = F.when(
+            F.size(q0) == 25,
+            F.concat(F.slice(q0, 1, 5), F.slice(q0, 7, 9),
+                     F.slice(q0, 17, 9))).otherwise(q0)
+        media = media.withColumn("_q", fixed).filter(
+            (F.size(F.col("_q")) > 21)
+            & (F.get(F.col("_q"), 2) != "")
+            & (F.get(F.col("_q"), 21).isNotNull()))
+        q = F.col("_q")
+
+        def g(i):
+            return F.get(q, i)
+
+        def report(dir_, src, sport, dst, dport, mos_i, pk_i):
+            mos = F.round(F.lit(4.5) * g(mos_i).try_cast("int") / 127, 6)
+            pay = F.to_json(F.struct(
+                g(2).alias("CORRELATION_ID"),
+                g(2).alias("RTP_SIP_CALL_ID"),
+                mos.alias("MOS"),
+                g(pk_i).try_cast("int").alias("TOTAL_PK"),
+                g(5).alias("CODEC_NAME"),
+                F.lit(dir_).alias("DIR"),
+                F.concat(g(4), F.lit("_"), src, F.lit(":"), sport)
+                 .alias("REPORT_NAME"),
+                F.lit(dir_).alias("PARTY"),
+                F.lit("HANGUP").alias("TYPE")))
+            return F.struct(
+                F.lit(35).alias("proto_type"), pay.alias("payload"),
+                g(2).alias("correlation_id"), src.alias("src_ip"),
+                sport.try_cast("int").alias("src_port"),
+                dst.alias("dst_ip"),
+                dport.try_cast("int").alias("dst_port"),
+                F.lit(17).alias("protocol"))
+
+        legs = F.array(
+            report(0, g(7), g(8), g(9), g(10), 17, 11),
+            report(1, g(9), g(10), g(7), g(8), 18, 12))
+        outs.append(media.select(F.col(order), "sid",
+                                 F.explode(legs).alias("_r"))
+                    .select(F.col(order), "sid",
+                            *[F.col(f"_r.{c}") for c in schema_cols]))
+
+    if logs:
+        cdr_toks = F.filter(
+            F.transform(F.split(l, r"\|"), lambda x: F.trim(x)),
+            lambda x: F.length(x) > 1)
+        call_end = (base.filter(l.contains("CALL_END ")
+                                & ~F.col("_consumed"))
+                    .withColumn("_cdr", cdr_toks)
+                    .select(
+            F.col(order), "sid", F.lit(100).alias("proto_type"),
+            F.to_json(F.col("_cdr")).alias("payload"),
+            F.coalesce(F.get(F.col("_cdr"), 3), F.lit(""))
+             .alias("correlation_id"),
+            F.lit(localip).alias("src_ip"),
+            F.lit(0).cast("int").alias("src_port"),
+            F.lit(localip).alias("dst_ip"),
+            F.lit(0).cast("int").alias("dst_port"),
+            F.lit(17).alias("protocol")))
+        outs.append(call_end)
+        # other SID-carrying lines: correlation through the sidcache twin —
+        # as-of last SIP Call-ID published for that sid
+        others = base.filter(
+            (F.col("sid") != "") & ~is_sipline & ~F.col("_consumed")
+            & ~l.contains("CALL_END ") & ~l.contains("MEDIA_END "))
+        sip_cids = sip_rows.select(
+            "sid", F.col(order).alias("_o"),
+            F.col("correlation_id").alias("_cid"))
+        # as-of join sip_cids to each log line (latest _o < order)
+        logline = others.select(F.col(order), "sid", "_line")
+        j = logline.join(sip_cids, "sid", "left") \
+            .filter(F.col("_o").isNull() | (F.col("_o") < F.col(order)))
+        w_last = Window.partitionBy("sid", order).orderBy(F.col("_o").desc())
+        j = (j.withColumn("_rn", F.row_number().over(w_last))
+             .filter(F.col("_rn") == 1))
+        outs.append(j.select(
+            F.col(order), "sid", F.lit(100).alias("proto_type"),
+            F.col("_line").alias("payload"),
+            F.coalesce(F.col("_cid"), F.col("sid"))
+             .alias("correlation_id"),
+            F.lit(localip).alias("src_ip"),
+            F.lit(514).cast("int").alias("src_port"),
+            F.lit(localip).alias("dst_ip"),
+            F.lit(514).cast("int").alias("dst_port"),
+            F.lit(17).alias("protocol")))
+
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

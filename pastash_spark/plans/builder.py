@@ -70,6 +70,9 @@ _REGISTRY: dict[str, StageFn] = {
     "cacheloop": C.cacheloop_aggregate,
     "broadcast_lookup": E.broadcast_lookup,
     "reverse_dns": E.reverse_dns,
+    "sqlite": E.sqlite_lookup,
+    "mysql": E.jdbc_lookup,
+    "jdbc": E.jdbc_lookup,
     "xml": P.xml_fields,
     "rfc3339": P.rfc3339,
     "sip": P.sip_message,
@@ -78,6 +81,10 @@ _REGISTRY: dict[str, StageFn] = {
     "netflow_v9": P.netflow_v9,
     "sflow": P.sflow_v5,
     "esl_event": P.esl_event,
+    "app_cdr_kamailio": P.app_cdr_kamailio,
+    "app_rtpproxy": C.app_rtpproxy_correlate,
+    "app_audiocodes": C.app_audiocodes_correlate,
+    "audiocodes": C.app_audiocodes_correlate,
     # conf-surface plugin names that alias operators above
     "mutate_replace": M.gsub,
     "noop": lambda df: df,

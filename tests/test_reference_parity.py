@@ -490,3 +490,183 @@ class TestConditionEvaluator105:
         df = spark.createDataFrame([(left,)], "v string")
         ast = {"op": op, "left": {"field": "v"}, "right": right}
         assert df.select(compile_condition(ast).alias("c")).first().c == expected
+
+
+class TestAppCdrKamailio:
+    """plugins/filters/app_cdr_kamailio/filter_app_cdr_kamailio.js — lines
+    with 'cdr(): ' re-emit as the parsed ;-separated k=v record, everything
+    else drops; JS split('=')[1] value quirk; keys trimmed."""
+
+    LINE = ("Jan  5 04:05:06 sbc /usr/sbin/kamailio[123]: INFO: acc [cdr.c] "
+            "cdr(): call_id=abc@10.0.0.1;from_tag=ft1; to_tag=tt9;"
+            "start_time=1600000000;end_time=1600000042;duration=42;"
+            "weird=a=b;novalue=")
+
+    def test_parse_and_drop(self, spark):
+        from pastash_spark.operators import parse as P
+        df = spark.createDataFrame(
+            [(self.LINE,), ("unrelated noise line",)], "message string")
+        out = P.app_cdr_kamailio(
+            df, fields=("call_id", "from_tag", "to_tag", "duration",
+                        "weird", "novalue", "absent"))
+        rows = out.collect()
+        assert len(rows) == 1               # non-cdr line dropped
+        r = rows[0]
+        assert r.call_id == "abc@10.0.0.1"
+        assert r.from_tag == "ft1"
+        assert r.to_tag == "tt9"            # ' to_tag' key trimmed
+        assert r.duration == "42"
+        assert r.weird == "a"               # split('=')[1]: a=b -> 'a'
+        assert r.novalue == ""              # present, empty value
+        assert r.absent is None             # missing key -> undefined
+
+    def test_keep_map_last_wins(self, spark):
+        from pastash_spark.operators import parse as P
+        df = spark.createDataFrame(
+            [("x cdr(): k=1;k=2;other=v",)], "message string")
+        out = P.app_cdr_kamailio(df, fields=(), keep_map=True)
+        m = out.first()["cdr"]
+        assert m["k"] == "2" and m["other"] == "v"
+
+
+class TestAppRtpProxy:
+    """plugins/filters/app_rtpproxy/filter_app_rtpproxy.js — the ipcache
+    token/port correlation: command -> create, reply completes + consumes,
+    cleanup emits the delete clone."""
+
+    def _lines(self):
+        return [
+            'received command "4442_5 Uc8,101 call-1@10.0.0.1 14858 15694"',
+            'sending reply "4442_5 35000 10.0.0.2#012"',
+            'received command "7000_1 Lc0 call-2@10.0.0.9 1 2"',
+            'rtpproxy: new session on IPv4 port 36000 created, tag 7000_1',
+            'rtpc_doreply: sending reply "36000 10.0.0.3\\n"',
+            'session on ports 35000/36000 is cleaned up',
+        ]
+
+    def _run(self, spark):
+        from pastash_spark.operators import correlate as C
+        rows = [(i + 1, l) for i, l in enumerate(self._lines())]
+        df = spark.createDataFrame(rows, "line_no long, message string")
+        return C.app_rtpproxy_correlate(df).collect()
+
+    def test_create_emissions(self, spark):
+        got = {(r.method, r.token): r for r in self._run(spark)}
+        c1 = got[("create", "4442_5")]
+        # token-keyed reply branch (:102-115): RTPmap 8 -> PCMA, U -> 0
+        assert c1.correlation_id == "call-1@10.0.0.1"
+        assert (c1.codec_name, c1.codec_pt, c1.codec_rate) == ("PCMA", 8, 8000)
+        assert c1.direction == 0
+        assert (c1.port, c1.ip) == ("35000", "10.0.0.2")
+        c2 = got[("create", "7000_1")]
+        # port-aliased rtpc_doreply branch (:80-100): PCMU, L -> 1
+        assert c2.correlation_id == "call-2@10.0.0.9"
+        assert (c2.codec_name, c2.codec_pt) == ("PCMU", 0)
+        assert c2.direction == 1
+        assert (c2.port, c2.ip) == ("36000", "10.0.0.3")
+
+    def test_delete_clones_and_consumption(self, spark):
+        rows = self._run(spark)
+        dels = {r.token: r for r in rows if r.method == "delete"}
+        assert set(dels) == {"4442_5", "7000_1"}  # both ports cleaned
+        assert dels["4442_5"].correlation_id == "call-1@10.0.0.1"
+        # a second reply for a consumed token emits nothing
+        from pastash_spark.operators import correlate as C
+        extra = self._lines() + ['sending reply "4442_5 39999 10.9.9.9#012"']
+        df = spark.createDataFrame(
+            [(i + 1, l) for i, l in enumerate(extra)],
+            "line_no long, message string")
+        out = C.app_rtpproxy_correlate(df).collect()
+        creates_4442 = [r for r in out
+                        if r.method == "create" and r.token == "4442_5"]
+        assert len(creates_4442) == 1 and creates_4442[0].port == "35000"
+
+
+class TestAppAudiocodes:
+    """plugins/filters/app_audiocodes/filter_app_audiocodes.js (default
+    version 7.20A.260.012): SIP extraction + direction, #012 payload
+    restore, Call-ID/SID correlation, seq+1 reassembly, MEDIA_END QoS
+    legs."""
+
+    IN_LINE = ("[S=5] [SID=ac1:12:777] ---- Incoming SIP Message from "
+               "10.0.0.5:5060 to SIPInterface #0 (SIPGRP) UDP TO(#1) ---"
+               "#012INVITE sip:bob@x.com SIP/2.0#012Call-ID: cid-77#012"
+               "CSeq: 1 INVITE#012 #012 [Time:04-05@123]")
+    OUT_LINE = ("[S=6] [SID=ac1:12:777] ---- Outgoing SIP Message to "
+                "10.0.0.9:5061 from SIPInterface #0 (SIPGRP) TCP TO(#1) ---"
+                "#012SIP/2.0 200 OK sip 2.0/TCP#012Call-ID: cid-77#012"
+                "#012 x [Time:04-05@124]")
+
+    def _run(self, spark, lines, **kw):
+        from pastash_spark.operators import correlate as C
+        df = spark.createDataFrame(
+            [(i + 1, l) for i, l in enumerate(lines)],
+            "line_no long, message string")
+        return C.app_audiocodes_correlate(df, **kw).collect()
+
+    def test_incoming_outgoing_direction_and_payload(self, spark):
+        rows = self._run(spark, [self.IN_LINE, self.OUT_LINE],
+                         localip="1.1.1.1", localport=5060)
+        by_ord = {r.line_no: r for r in rows}
+        rin = by_ord[1]
+        assert rin.proto_type == 1
+        assert rin.payload.startswith("INVITE sip:bob@x.com SIP/2.0\r\n")
+        assert rin.payload.endswith("\r\n\r\n")
+        assert "Call-ID: cid-77" in rin.payload
+        assert rin.correlation_id == "cid-77"
+        # Incoming: remote is the source, local the destination (:265-268)
+        assert (rin.src_ip, rin.src_port) == ("10.0.0.5", 5060)
+        assert (rin.dst_ip, rin.dst_port) == ("1.1.1.1", 5060)
+        assert rin.protocol == 17
+        rout = by_ord[2]
+        # Outgoing: local is the source; 2.0/TCP flips protocol -> 6 (:96)
+        assert (rout.src_ip, rout.dst_ip) == ("1.1.1.1", "10.0.0.9")
+        assert rout.dst_port == 5061
+        assert rout.protocol == 6
+
+    def test_seq_reassembly(self, spark):
+        frag = ("[S=7] [SID=ac1:12:888] ---- Incoming SIP Message from "
+                "10.0.0.5:5060 to SIPInterface #0 (SIPGRP) UDP TO(#1) ---"
+                "#012INVITE sip:carol@x.com SIP/2.0#012Call-ID: cid-88"
+                " [Time:04-05@125]")
+        cont = ("[S=8] [SID=ac1:12:888] #012CSeq: 2 INVITE#012 #012 x "
+                "[Time:04-05@126]")
+        rows = self._run(spark, [frag, cont])
+        sips = [r for r in rows if r.proto_type == 1]
+        assert len(sips) == 1                     # continuation consumed
+        assert "CSeq: 2 INVITE" in sips[0].payload
+        assert sips[0].correlation_id == "cid-88"
+
+    def test_media_end_qos_legs(self, spark):
+        toks = ["f%02d" % i for i in range(23)]
+        toks[2], toks[4], toks[5] = "cid-9", "RTP1", "G711"
+        toks[7], toks[8], toks[9], toks[10] = ("10.0.0.5", "6000",
+                                               "10.0.0.6", "7000")
+        toks[11], toks[12] = "1000", "2000"
+        toks[17], toks[18] = "127", "64"
+        line = ("[S=9] [SID=ac1:12:999] MEDIA_END " + toks[0]
+                + " |" + " |".join(toks[1:]))
+        rows = self._run(spark, [line], qos=True)
+        import json
+        legs = sorted((json.loads(r.payload) for r in rows
+                       if r.proto_type == 35), key=lambda d: d["DIR"])
+        assert len(legs) == 2
+        a, b = legs
+        assert a["CORRELATION_ID"] == "cid-9" and a["CODEC_NAME"] == "G711"
+        assert a["MOS"] == 4.5 and abs(b["MOS"] - 4.5 * 64 / 127) < 1e-6
+        assert a["TOTAL_PK"] == 1000 and b["TOTAL_PK"] == 2000
+        assert a["REPORT_NAME"] == "RTP1_10.0.0.5:6000"
+        assert b["REPORT_NAME"] == "RTP1_10.0.0.6:7000"
+        srcs = {(r.src_ip, r.src_port, r.dst_ip, r.dst_port) for r in rows}
+        assert ("10.0.0.5", 6000, "10.0.0.6", 7000) in srcs
+        assert ("10.0.0.6", 7000, "10.0.0.5", 6000) in srcs
+
+    def test_log_lines_resolve_via_sidcache(self, spark):
+        log1 = "[S=9] [SID=ac1:12:777] some device log chatter"
+        rows = self._run(spark, [self.IN_LINE, log1], logs=True, qos=False,
+                         localip="1.1.1.1")
+        logs = [r for r in rows if r.proto_type == 100]
+        assert len(logs) == 1
+        # SID 777 resolved to the SIP leg's Call-ID (sidcache get, :348)
+        assert logs[0].correlation_id == "cid-77"
+        assert logs[0].src_port == 514 and logs[0].dst_port == 514
