@@ -160,3 +160,106 @@ def asof_lookup(df: DataFrame, *, key: str | Sequence[str], order: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     published = F.when(is_set, value)
     return df.withColumn(target, F.last(published, ignorenulls=True).over(w))
+
+
+# --- external SQL lookup filters (mysql / sqlite family) ----------------------
+#
+# The reference's mysql and sqlite filters run a `?`-parameterized prepared
+# statement PER EVENT and stash the first result under target_field
+# (plugins/filters/mysql/filter_mysql.js:10-45, filter_sqlite.js:39-55).
+# The Spark-first re-expression: load the statement's table ONCE, turn
+# `WHERE <key> = ?` into the join condition, and probe via a broadcast hash
+# join — per-event round-trips disappear and the plan stays O(rows) with a
+# shuffle-free fact side at any scale.
+
+import re as _re
+
+_LOOKUP_Q_RE = _re.compile(
+    r"(?is)^\s*select\s+(?P<cols>.+?)\s+from\s+(?P<table>[\w.\"`]+)"
+    r"\s+where\s+(?P<key>[\w.\"`]+)\s*=\s*\?\s*;?\s*$")
+
+
+def parse_lookup_query(query: str) -> tuple[list[str], str, str]:
+    """Split the filters' prepared-statement shape
+    ``SELECT <cols> FROM <table> WHERE <key> = ?`` into its join pieces."""
+    m = _LOOKUP_Q_RE.match(query or "")
+    if not m:
+        raise ValueError(
+            "lookup filter query must be of the form "
+            "'SELECT <cols> FROM <table> WHERE <key> = ?' — got "
+            f"{query!r}")
+    cols = [c.strip() for c in m.group("cols").split(",")]
+    return cols, m.group("table"), m.group("key")
+
+
+def _lookup_join(df: DataFrame, lk: DataFrame, n_cols: int,
+                 source_field: str, target_field: str,
+                 pair: bool = False) -> DataFrame:
+    """lk = (__k, value cols...) — first row per key wins (the filters read
+    one row: better-sqlite3 .get / results[0]).  String-compare the key,
+    like the loosely-typed parameter binding."""
+    lk = lk.withColumn("__k", F.col("__k").cast("string")) \
+           .dropDuplicates(["__k"])
+    vals = [c for c in lk.columns if c != "__k"]
+    if pair:
+        # mysql `pair` mode (filter_mysql.js:55-66): alternating
+        # value/value cells become a map {row[0]: row[1], ...}
+        kv = []
+        for i in range(0, len(vals) - 1, 2):
+            kv.extend([F.col(vals[i]).cast("string"), F.col(vals[i + 1])])
+        lk = lk.select("__k", F.create_map(*kv).alias(target_field))
+    elif n_cols == 1:
+        # sqlite semantics: Object.values(row)[0] — the scalar
+        lk = lk.select("__k", F.col(vals[0]).alias(target_field))
+    else:
+        # mysql non-pair: the whole first row under target_field
+        lk = lk.select("__k", F.struct(*[F.col(c) for c in vals])
+                       .alias(target_field))
+    return (df.withColumn("__k", F.col(source_field).cast("string"))
+            .join(F.broadcast(lk), "__k", "left").drop("__k"))
+
+
+def sqlite_lookup(df: DataFrame, *, db: str, query: str,
+                  source_field: str,
+                  target_field: str = "sqlite") -> DataFrame:
+    """sqlite filter (plugins/filters/sqlite/filter_sqlite.js): per-event
+    `prepare(query).get(raw[source_field])` becomes load-once (stdlib
+    sqlite3 → Arrow) + broadcast equi-join on the `?` key.  Rows without a
+    match keep NULL (the reference leaves the event untouched)."""
+    import sqlite3
+    cols, table, key = parse_lookup_query(query)
+    con = sqlite3.connect(db)
+    try:
+        sel = f"SELECT {key} AS __k, {', '.join(cols)} FROM {table}"
+        lk_pdf = pd.read_sql_query(sel, con)
+    finally:
+        con.close()
+    spark = df.sparkSession
+    lk = spark.createDataFrame(lk_pdf)
+    return _lookup_join(df, lk, len(cols), source_field, target_field)
+
+
+def jdbc_lookup(df: DataFrame, *, query: str, source_field: str,
+                target_field: str = "mysql", url: str | None = None,
+                db: str | None = None, host: str = "localhost",
+                port: int = 3306, user: str = "root", password: str = "",
+                driver: str | None = None, pair: bool = False,
+                table: str | None = None) -> DataFrame:
+    """mysql filter (plugins/filters/mysql/filter_mysql.js:10-45) — and any
+    JDBC source: the per-event prepared statement becomes a JDBC table read
+    (executors pull the dim in parallel) + broadcast equi-join.  The conf
+    surface's host/port/db/user/password build the jdbc:mysql URL; pass
+    ``url`` for other databases.  Needs the JDBC driver jar on the
+    cluster's classpath (--jars), like any Spark JDBC read.  ``table`` is
+    accepted (reference optional param) but the query names the table."""
+    from pastash_spark.sources.readers import read_jdbc
+    cols, tbl, key = parse_lookup_query(query)
+    if url is None:
+        if db is None:
+            raise ValueError("jdbc_lookup needs url= or db= (+host/port)")
+        url = f"jdbc:mysql://{host}:{int(port)}/{db}"
+    sel = f"SELECT {key} AS __k, {', '.join(cols)} FROM {tbl}"
+    lk = read_jdbc(df.sparkSession, url, f"({sel}) AS __lk",
+                   user=user, password=password, driver=driver)
+    return _lookup_join(df, lk, len(cols), source_field, target_field,
+                        pair=pair)

@@ -111,3 +111,24 @@ def read_msgpack(spark: SparkSession, path: str,
           .select("content")
           .mapInPandas(unpack, schema=schema))
     return _stamp(df, **stamp_kw)
+
+
+def read_jdbc(spark: SparkSession, url: str, dbtable: str, *,
+              user: str | None = None, password: str | None = None,
+              driver: str | None = None, **options) -> DataFrame:
+    """JDBC dim-table reader (the mysql lookup-filter's load side and a
+    general §2.4 source).  ``dbtable`` may be a table name or a
+    ``(subquery) AS t`` pushdown.  Partitioned pulls (partitionColumn/
+    lowerBound/upperBound/numPartitions) pass through via **options for
+    big tables; lookup dims read single-partition and get broadcast by the
+    caller.  Requires the driver jar on the classpath (--jars)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    if user is not None:
+        r = r.option("user", user)
+    if password is not None:
+        r = r.option("password", password)
+    if driver is not None:
+        r = r.option("driver", driver)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()

@@ -10,6 +10,82 @@ from pastash_spark.plans.urls import parse_url, parse_urls
 from pastash_spark.sources import sinks as S
 
 
+class TestSqlLookupFilters:
+    """mysql/sqlite lookup filters (plugins/filters/mysql/filter_mysql.js,
+    filter_sqlite.js): the per-event `WHERE key = ?` prepared statement is
+    re-expressed as load-once + broadcast equi-join."""
+
+    def _mkdb(self, tmp_path):
+        import sqlite3
+        db = str(tmp_path / "lk.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE users (id INTEGER, name TEXT, tier TEXT)")
+        con.executemany("INSERT INTO users VALUES (?,?,?)",
+                        [(1, "alice", "gold"), (2, "bob", "silver"),
+                         (1, "alice-dup", "late")])  # first row must win
+        con.commit(); con.close()
+        return db
+
+    def test_sqlite_lookup_scalar_first_row(self, spark, tmp_path):
+        db = self._mkdb(tmp_path)
+        df = spark.createDataFrame([(1,), (2,), (9,)], "user_id int")
+        out = build(df, [{"op": "sqlite", "db": db,
+                          "query": "SELECT name FROM users WHERE id = ?",
+                          "source_field": "user_id",
+                          "target_field": "username"}])
+        got = {r.user_id: r.username for r in out.collect()}
+        # better-sqlite3 .get() = first matching row; no match -> untouched
+        assert got == {1: "alice", 2: "bob", 9: None}
+
+    def test_sqlite_lookup_via_conf(self, spark, tmp_path):
+        from pastash_spark.plans.logstash_conf import build_conf
+        db = self._mkdb(tmp_path)
+        conf = f"""
+        filter {{ sqlite {{ db => "{db}"
+                            query => "SELECT tier FROM users WHERE id = ?"
+                            source_field => user_id }} }}
+        """
+        df = spark.createDataFrame([(2,)], "user_id int")
+        out, _ = build_conf(df, conf)
+        # default target_field = 'sqlite' (filter_sqlite.js default_values)
+        assert out.first()["sqlite"] == "silver"
+
+    def test_lookup_query_shape_rejected(self):
+        from pastash_spark.operators.enrich import parse_lookup_query
+        with pytest.raises(ValueError, match="lookup filter query"):
+            parse_lookup_query("DELETE FROM users")
+        cols, tbl, key = parse_lookup_query(
+            "SELECT a, b FROM t WHERE k = ?")
+        assert (cols, tbl, key) == (["a", "b"], "t", "k")
+
+    def test_mysql_conf_builds_jdbc_url(self, spark, monkeypatch, tmp_path):
+        """The mysql conf surface (host/port/db/user/password) must reach
+        the JDBC reader as a jdbc:mysql URL + subquery pushdown."""
+        from pastash_spark.plans.logstash_conf import build_conf
+        from pastash_spark.sources import readers
+        seen = {}
+
+        def fake_read_jdbc(sp, url, dbtable, **kw):
+            seen.update(url=url, dbtable=dbtable, **kw)
+            return sp.createDataFrame([(7, "x")], "__k int, name string")
+
+        monkeypatch.setattr(readers, "read_jdbc", fake_read_jdbc)
+        conf = """
+        filter { mysql { db => appdb host => dbhost port => 3307
+                         user => ro password => pw
+                         query => "SELECT name FROM users WHERE id = ?"
+                         source_field => user_id
+                         target_field => username } }
+        """
+        df = spark.createDataFrame([(7,), (8,)], "user_id int")
+        out, _ = build_conf(df, conf)
+        got = {r.user_id: r.username for r in out.collect()}
+        assert got == {7: "x", 8: None}
+        assert seen["url"] == "jdbc:mysql://dbhost:3307/appdb"
+        assert seen["dbtable"] == "(SELECT id AS __k, name FROM users) AS __lk"
+        assert seen["user"] == "ro" and seen["password"] == "pw"
+
+
 def test_interpolated_path_write(spark, tmp_path):
     df = spark.createDataFrame(
         [("nginx", "h1", 1), ("nginx", "h2", 2), ("apache", "h1", 3)],
