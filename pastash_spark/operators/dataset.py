@@ -227,6 +227,23 @@ def cap_drop_stats(metric: str) -> dict:
     return h.get() if h is not None else {}
 
 
+CAP_METRICS = ("minhash_lsh_max_bucket", "simhash_max_bucket",
+               "winnow_max_posting")
+
+
+def cap_drop_report() -> dict[str, dict]:
+    """Operational summary of every known hot-group cap — for bench /
+    flagship output, so silent truncation is visible end-to-end.  A metric
+    whose cap never armed this session reports explicit zeros with
+    ``uncapped: True`` (the lossless gate paths)."""
+    out: dict[str, dict] = {}
+    for m in CAP_METRICS:
+        h = _CAP_LATEST.get(m)
+        out[m] = (h.get() if h is not None else
+                  {"dropped_rows": 0, "dropped_groups": 0, "uncapped": True})
+    return out
+
+
 # --- minhash + LSH -----------------------------------------------------------
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)

@@ -1428,6 +1428,66 @@ def q_ndjson(spark, sf_dir):
                             timestamp_col=None).select("event_id", "json")
 
 
+@_q("hep_frame", """
+WITH src AS (
+  SELECT event_id,
+         'INVITE sip:u' || CAST(user_id % 10 AS VARCHAR)
+           || '@example.com SIP/2.0' || chr(13) || chr(10)
+           || 'Call-ID: cid-' || CAST(event_id AS VARCHAR)
+           || chr(13) || chr(10) || chr(13) || chr(10) AS payload,
+         'cid-' || CAST(event_id AS VARCHAR) AS corr,
+         event_id % 1000000 AS tsec
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT event_id,
+       CAST(116 + length(payload) + length(corr) AS BIGINT) AS hep_len,
+       lower(
+         '48455033'
+         || lpad(to_hex(116 + length(payload) + length(corr)), 4, '0')
+         || '00000001000701'
+         || '00000002000711'
+         || '00000003000a7f000001'
+         || '00000004000a7f000002'
+         || '0000000700080000'
+         || '0000000800080000'
+         || '00000009000a' || lpad(to_hex(tsec), 8, '0')
+         || '0000000a000a00000000'
+         || '0000000b000764'
+         || '0000000c000a000007d1'
+         || '0000000e000b4d79486570'
+         || '0000000f' || lpad(to_hex(6 + length(payload)), 4, '0')
+                       || lower(hex(payload))
+         || '00000011' || lpad(to_hex(6 + length(corr)), 4, '0')
+                       || lower(hex(corr))
+       ) AS hep_hex
+FROM src
+""")
+def q_hep_frame(spark, sf_dir):
+    """SIP→HEPv3 capstone — sipcapture's raison d'être as a driver-gated
+    query: render a SIP INVITE per event, wrap it in a HEPv3 packet
+    (hep_serialize → hep3_encapsulate, the public HEP spec output_hep.js
+    speaks), and surface the frame as hex + byte length.  The oracle
+    re-derives the EXACT frame bytes analytically chunk-by-chunk (magic,
+    vendor/type/length headers, IPs, ports, tv_sec, capture id/password,
+    payload, correlation id) — the multimodal-pixel-oracle pattern, so a
+    framing bug cannot cancel against itself."""
+    from pastash_spark.sources.sinks import hep_serialize
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    payload = F.concat(
+        F.lit("INVITE sip:u"), (F.col("user_id") % 10).cast("string"),
+        F.lit("@example.com SIP/2.0\r\nCall-ID: cid-"),
+        F.col("event_id").cast("string"), F.lit("\r\n\r\n"))
+    df = ev.select(
+        "event_id", payload.alias("payload"),
+        F.concat(F.lit("cid-"), F.col("event_id").cast("string"))
+         .alias("correlation_id"),
+        (F.col("event_id") % 1000000).alias("tsec"))
+    out = hep_serialize(df, ts_col="tsec")
+    return out.select("event_id",
+                      F.length("hep").cast("long").alias("hep_len"),
+                      F.lower(F.hex("hep")).alias("hep_hex"))
+
+
 @_q("revenue_by_nation", """
 SELECT n.n_name, r.r_name,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
@@ -1749,7 +1809,7 @@ _GATE_WINDOW = [
     # §2 parse / predicate
     "grep", "regex_extract", "json_fields", "split_explode", "mutate_gsub",
     "truncate", "mutate_hash", "syslog_pri", "http_status_classifier",
-    "ipproto", "compute_field", "compute_date_field", "eval_expr",
+    "compute_field", "compute_date_field", "eval_expr",
     "csv_parse", "bunyan_parse", "jail_serialize", "mustache_render",
     "rename_omit_project",
     # §2 grok + pipeline shapes (reference's most-used filter)
@@ -1759,25 +1819,36 @@ _GATE_WINDOW = [
     "per_sink_aggregates",
     # §2 enrich / correlate
     "geoip_range_join", "reverse_dns_lookup",
-    "asof_lru_lookup", "multiline", "cacheloop_agg", "esl_call_summary",
+    "asof_lru_lookup", "multiline", "esl_call_summary",
     "app_janus_correlate",
-    # §2.5 sinks
-    "statsd_metrics", "ndjson_serialize",
+    # §2.4+ plugin inputs / filters (rotated IN round 4 for driver rows)
+    "sip_parse", "xml_extract",
+    # §2.5 sinks (hep_frame = the SIP→correlate→HEPv3 capstone, sipcapture's
+    # own wire protocol, driver-verified via hex serialization)
+    "statsd_metrics", "ndjson_serialize", "hep_frame",
     # LLM-pipeline components
     "dedup_exact", "minhash_lsh_dedup", "simhash_near_pairs",
-    "ngram_jaccard_pairs", "winnow_containment_pairs",
-    "embedding_near_dup_lsh", "ann_brute_force_topk", "ann_lsh_topk",
-    "quantize_embeddings", "vocab_topk", "token_stats", "lang_id",
+    "winnow_containment_pairs",
+    "embedding_near_dup_lsh", "ann_brute_force_topk",
+    "quantize_embeddings", "vocab_topk", "lang_id",
     "salted_hot_key_agg",
-    # relational competence (incl. both round-1 scale-killer fixes)
-    "pricing_summary", "topk_orders", "revenue_by_nation", "metrics_rollup",
+    "pack_sequences", "dataset_split", "ngram_repetition_filter",
+    "multimodal_decode",
+    # relational competence
+    "pricing_summary", "revenue_by_nation",
 ]
 
 _GATE_TAIL = [
-    # round-3 additions (full oracles; window is already at capacity)
-    "pack_sequences", "dataset_split", "ngram_repetition_filter",
-    "xml_extract", "rfc3339_convert", "statsd_time_windows",
-    "multimodal_decode", "prometheus_parse", "sip_parse",
+    # round-3/4 extras (full oracles; window at capacity)
+    "rfc3339_convert", "statsd_time_windows", "prometheus_parse",
+    # rotated OUT round 4 (window slots ceded to round-3 components):
+    # ngram_jaccard_pairs verifies minhash_lsh_dedup, ann_lsh_topk is the
+    # third ANN variant (recall pytest-pinned), token_stats overlaps
+    # lang_id, cacheloop_agg's agg shape rides per_sink_aggregates, ipproto
+    # is a literal-map lookup (broadcast_enrich twin), topk_orders /
+    # metrics_rollup plans stay pinned by tests/test_plan_shapes.py
+    "ngram_jaccard_pairs", "ann_lsh_topk", "token_stats", "cacheloop_agg",
+    "ipproto", "topk_orders", "metrics_rollup",
     # redundant / demoted variants, still oracle-checked locally
     "broadcast_enrich", "sessionize", "forward_fill_correlation",
     "routing_fanout", "statsd_sink", "token_count", "dedup_exact_keep",
