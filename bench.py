@@ -159,18 +159,27 @@ def main() -> None:
     spark = get_spark("bench-queries", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
+    q_probe_before = _steal_probe()
     for name in HEADLINE:
         if name not in qs:
             continue
         try:
             print(f"# bench: query {name} ...", file=sys.stderr)
             _noop_force(qs[name](spark, SF_DIR))  # warm
-            t0 = time.time()
-            _noop_force(qs[name](spark, SF_DIR))
-            timings[name] = round(time.time() - t0, 3)
+            # fixed best-of-2 timed runs (each a FRESH plan — never re-time
+            # the same DataFrame object, AQE reuses materialized stages):
+            # min-of-k is the standard steal-robust protocol, and k is
+            # fixed up front so the stopping rule stays unbiased
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                _noop_force(qs[name](spark, SF_DIR))
+                walls.append(time.time() - t0)
+            timings[name] = round(min(walls), 3)
         except Exception as e:  # pragma: no cover
             timings[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
+    q_probe_after = _steal_probe()
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -193,7 +202,8 @@ def main() -> None:
         # single-thread spin per scaling round (M adds/s): hypervisor CPU
         # steal depresses these uniformly — window-quality evidence
         # embedded in the artifact itself
-        "steal_probe": {"unit": "M_adds_per_sec", "rounds": probes},
+        "steal_probe": {"unit": "M_adds_per_sec", "rounds": probes,
+                        "queries_phase": [q_probe_before, q_probe_after]},
         # hot-group cap drop counts (explicit zeros + uncapped flag on the
         # lossless gate paths) — silent-truncation visibility end-to-end
         "cap_drops": cap_drop_report(),

@@ -1488,6 +1488,35 @@ def q_hep_frame(spark, sf_dir):
                       F.lower(F.hex("hep")).alias("hep_hex"))
 
 
+@_q("kamailio_cdr_parse", """
+SELECT event_id,
+       'c' || CAST(event_id AS VARCHAR) || '@sip' AS call_id,
+       'f' || CAST(user_id % 100 AS VARCHAR) AS from_tag,
+       't' || CAST(event_id % 7 AS VARCHAR) AS to_tag,
+       CAST(event_id % 3600 AS VARCHAR) AS duration
+FROM events WHERE event_id % 10 <> 0
+""")
+def q_kamailio_cdr(spark, sf_dir):
+    """app_cdr_kamailio parse (filter_app_cdr_kamailio.js:27-41): render a
+    kamailio acc `cdr(): k=v;k=v` line per event (every 10th row is
+    non-cdr noise and must DROP), parse it back, oracle re-derives the
+    fields analytically."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 10 == 0, F.lit("proxy noise line")).otherwise(
+        F.concat(F.lit("proxy cdr(): call_id=c"),
+                 F.col("event_id").cast("string"),
+                 F.lit("@sip;from_tag=f"),
+                 (F.col("user_id") % 100).cast("string"),
+                 F.lit("; to_tag=t"), (F.col("event_id") % 7).cast("string"),
+                 F.lit(";duration="),
+                 (F.col("event_id") % 3600).cast("string")))
+    return P.app_cdr_kamailio(
+        ev.select("event_id", line.alias("message")),
+        fields=("call_id", "from_tag", "to_tag", "duration"),
+        keep_cols=("event_id",))
+
+
 @_q("revenue_by_nation", """
 SELECT n.n_name, r.r_name,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
@@ -1841,6 +1870,7 @@ _GATE_WINDOW = [
 _GATE_TAIL = [
     # round-3/4 extras (full oracles; window at capacity)
     "rfc3339_convert", "statsd_time_windows", "prometheus_parse",
+    "kamailio_cdr_parse",
     # rotated OUT round 4 (window slots ceded to round-3 components):
     # ngram_jaccard_pairs verifies minhash_lsh_dedup, ann_lsh_topk is the
     # third ANN variant (recall pytest-pinned), token_stats overlaps
