@@ -194,12 +194,15 @@ def parse_lookup_query(query: str) -> tuple[list[str], str, str]:
 
 def _lookup_join(df: DataFrame, lk: DataFrame, n_cols: int,
                  source_field: str, target_field: str,
-                 pair: bool = False) -> DataFrame:
+                 pair: bool = False, deduped: bool = False) -> DataFrame:
     """lk = (__k, value cols...) — first row per key wins (the filters read
     one row: better-sqlite3 .get / results[0]).  String-compare the key,
-    like the loosely-typed parameter binding."""
-    lk = lk.withColumn("__k", F.col("__k").cast("string")) \
-           .dropDuplicates(["__k"])
+    like the loosely-typed parameter binding.  ``deduped=True`` skips the
+    key dedup when the caller already collapsed keys (keeps the whole plan
+    a pure broadcast join with zero exchanges)."""
+    lk = lk.withColumn("__k", F.col("__k").cast("string"))
+    if not deduped:
+        lk = lk.dropDuplicates(["__k"])
     vals = [c for c in lk.columns if c != "__k"]
     if pair:
         # mysql `pair` mode (filter_mysql.js:55-66): alternating
@@ -234,9 +237,15 @@ def sqlite_lookup(df: DataFrame, *, db: str, query: str,
         lk_pdf = pd.read_sql_query(sel, con)
     finally:
         con.close()
+    # first-row-per-key (better-sqlite3 .get) resolved HERE in pandas so
+    # the Spark side needs no dedup exchange — the plan stays a pure
+    # broadcast hash join over the unshuffled fact stream
+    lk_pdf["__k"] = lk_pdf["__k"].astype(str)
+    lk_pdf = lk_pdf.drop_duplicates(subset="__k", keep="first")
     spark = df.sparkSession
     lk = spark.createDataFrame(lk_pdf)
-    return _lookup_join(df, lk, len(cols), source_field, target_field)
+    return _lookup_join(df, lk, len(cols), source_field, target_field,
+                        deduped=True)
 
 
 def jdbc_lookup(df: DataFrame, *, query: str, source_field: str,

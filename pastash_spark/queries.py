@@ -35,8 +35,41 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+# Tables whose queries run CPU-heavy per-row work (regex/grok/minhash/
+# matmul) and therefore benefit from splitting an unsplittable scan; the
+# relational tables stay as-is — their scan→partial-agg plans collapse data
+# before any exchange, and a repartition would move every row first
+# (measured: pricing_summary 0.34 s → 1.14 s with a forced split).
+_SPLIT_TABLES = frozenset({"events", "documents", "embeddings"})
+
+
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    # The sf* testdata tables are SINGLE-row-group parquet files, which the
+    # reader cannot split — without this, every query's scan AND its fused
+    # post-scan stage (regex/grok/minhash/...) run on ONE task no matter
+    # the master (measured: the events parse family 13.7 s → 7.4 s total
+    # with the split).  Target ~256 KB per chunk rather than
+    # defaultParallelism: over-splitting the tiny documents/embeddings
+    # tables shrinks Arrow batches below the point where the vectorized
+    # minhash/simhash/matmul passes amortize (measured 2-3x regressions at
+    # 156-row batches).  At real scale inputs have far more splits than
+    # cores and this branch never fires — the 100 TB plan keeps no extra
+    # exchange.  (No query here depends on physical row order; the
+    # driver's value-hash gate would catch it if one did.)
+    if table not in _SPLIT_TABLES:
+        return df
+    try:
+        import os
+        size = os.path.getsize(path)
+    except OSError:          # non-local fs: leave the scan as-is
+        return df
+    par = spark.sparkContext.defaultParallelism
+    target = min(par, max(1, size // (256 * 1024)))
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(int(target))
+    return df
 
 
 def _epoch(c):

@@ -72,8 +72,22 @@ class LineageLog:
     def commit(self, bucket: int, *, run_id: str, rows: int | None = None,
                tokens: int | None = None, wall_sec: float | None = None,
                status: str = "done") -> None:
-        row = [(run_id, bucket, status, rows, tokens, wall_sec, None)]
-        df = (self.spark.createDataFrame(row, LINEAGE_SCHEMA)
+        self.commit_many([(bucket, rows, tokens, wall_sec)], run_id=run_id,
+                         status=status)
+
+    def commit_many(self, entries: list[tuple[int, int | None, int | None,
+                                              float | None]],
+                    *, run_id: str, status: str = "done") -> None:
+        """Commit a batch of buckets in ONE append job — (bucket, rows,
+        tokens, wall_sec) tuples.  One file and one Spark job per BATCH
+        rather than per bucket: a 100 TB backfill over thousands of buckets
+        would otherwise issue thousands of single-row driver jobs and leave
+        as many one-row parquet files in the lineage table."""
+        if not entries:
+            return
+        rows = [(run_id, int(b), status, r, t, w, None)
+                for b, r, t, w in entries]
+        df = (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
               .withColumn("committed_at", F.current_timestamp()))
         df.coalesce(1).write.mode("append").parquet(self.path)
 
@@ -214,11 +228,11 @@ def run_resumable(
         subset = df_bucketed.filter(F.col(BUCKET_COL).isin(batch))
         result = process_and_write(subset, batch)
         wall = time.time() - t0
+        entries: list[tuple[int, int | None, int | None, float | None]] = []
         if isinstance(result, dict):
             for b in batch:
                 r, t = result.get(b, (0, 0))
-                lineage.commit(b, run_id=run_id, rows=r, tokens=t,
-                               wall_sec=wall)
+                entries.append((b, r, t, wall))
                 stats["rows"] += r
                 stats["tokens"] += t
         else:
@@ -229,9 +243,11 @@ def run_resumable(
             for i, b in enumerate(batch):
                 r = (rows or 0) // n + (1 if i < (rows or 0) % n else 0)
                 t = (tokens or 0) // n + (1 if i < (tokens or 0) % n else 0)
-                lineage.commit(b, run_id=run_id, rows=r, tokens=t,
-                               wall_sec=wall)
+                entries.append((b, r, t, wall))
             stats["rows"] += rows or 0
             stats["tokens"] += tokens or 0
+        # ONE append job per batch — still commit-after-write, so the
+        # crash window stays "re-process at most one batch"
+        lineage.commit_many(entries, run_id=run_id)
         stats["processed"] += len(batch)
     return stats

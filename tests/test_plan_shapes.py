@@ -230,3 +230,23 @@ def test_split_dataset_is_map_only(spark, token_parquet):
     # and the wide columns are pruned away
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "tokens" not in read_schema
+
+
+def test_sqlite_lookup_is_broadcast_no_fact_shuffle(spark, tmp_path):
+    """The mysql/sqlite lookup family must plan as a BROADCAST hash join —
+    the fact side streams through codegen unshuffled, which is what keeps
+    the per-event-prepared-statement replacement O(rows) at 100 TB."""
+    import sqlite3
+    db = str(tmp_path / "p.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INTEGER, v TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", [(i, f"v{i}") for i in range(50)])
+    con.commit(); con.close()
+    from pastash_spark.operators.enrich import sqlite_lookup
+    facts = spark.range(10_000).select(F.col("id").alias("uid"))
+    out = sqlite_lookup(facts, db=db, query="SELECT v FROM t WHERE k = ?",
+                        source_field="uid", target_field="val")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
