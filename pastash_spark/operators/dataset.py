@@ -97,7 +97,8 @@ def shingles(col: str = "text", k: int = 3) -> Column:
 
 def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
                         col: str = "text", k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        reuse: bool = True) -> DataFrame:
     """Exact Jaccard similarity over k-shingles for all pairs sharing >=1
     shingle: explode shingles, self-equi-join on shingle, count common per
     pair, jaccard = common / (n1 + n2 - common).
@@ -106,9 +107,9 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
     minhash_lsh_pairs to cut candidates first, then verify with this on the
     candidate set only.
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(shingles(col, k)).alias("sh"))
-          .distinct())
+    sh = _reuse(df.select(F.col(id_col).alias("id"),
+                          F.explode(shingles(col, k)).alias("sh"))
+                .distinct(), reuse)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.sh") == F.col("b.sh")) &
@@ -123,6 +124,20 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
                        (F.col("n_a") + F.col("n_b") - F.col("common"))))
     return out.filter(F.col("jaccard") >= threshold) \
         .select("id_a", "id_b", "jaccard")
+
+
+def _reuse(df: DataFrame, enabled: bool) -> DataFrame:
+    """Materialize-once for a subtree consumed by multiple branches of ONE
+    query (self-joins, candidate-fetch + anti-join).  Catalyst's
+    ReuseExchange only fires for byte-identical canonical subplans, which
+    per-branch column pruning defeats here — so without this every
+    consumer re-runs the Arrow signature/window pass (measured: the
+    dedup/simhash/winnow queries halve with it).  Lazy localCheckpoint:
+    materializes during the first action, shared by all branches.
+    Cluster note: checkpoint blocks live in executor storage with no
+    lineage — an executor loss fails the job instead of recomputing; for
+    a giant run, persist the subtree to a table and pass reuse=False."""
+    return df.localCheckpoint(eager=False) if enabled else df
 
 
 # --- hot-group cap with observable drop metrics -------------------------------
@@ -300,7 +315,8 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                       col: str = "text", k: int = 3, n_hashes: int = 64,
                       bands: int = 16,
                       max_bucket: int | None = None,
-                      stats_out: dict | None = None) -> DataFrame:
+                      stats_out: dict | None = None,
+                      reuse: bool = True) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-slice of the
     minhash signature -> same bucket -> pair.  rows_per_band = n_hashes/bands.
 
@@ -332,6 +348,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                                      lambda x: x.cast("string")))).alias("bucket"))
         )).alias("bb")) \
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _reuse(banded, reuse)
     if max_bucket is not None:
         banded = _cap_groups(banded, ["band", "bucket"], max_bucket,
                              "minhash_lsh_max_bucket", stats_out)
@@ -347,7 +364,8 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
                   k: int = 3, threshold: float = 0.7, n_hashes: int = 64,
                   bands: int = 16, exact_first: bool = True,
                   max_bucket: int | None = None,
-                  stats_out: dict | None = None) -> DataFrame:
+                  stats_out: dict | None = None,
+                  reuse: bool = True) -> DataFrame:
     """LSH candidates verified by exact jaccard — rows that survive dedup.
     Survivor = smaller id of each confirmed pair wins; every id that appears
     as a bigger-id duplicate is dropped.
@@ -360,7 +378,7 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
     the pair set over representatives plus the exact-loser set reproduces
     the all-pairs result."""
     if exact_first:
-        reps = dedup_exact_keep(df, col=col, id_col=id_col)
+        reps = _reuse(dedup_exact_keep(df, col=col, id_col=id_col), reuse)
         exact_losers = (df.join(reps.select(id_col), id_col, "left_anti")
                         .select(id_col))
         work = reps.select(id_col, col)
@@ -369,7 +387,8 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
         work = df
     cand = minhash_lsh_pairs(work, id_col=id_col, col=col, k=k,
                              n_hashes=n_hashes, bands=bands,
-                             max_bucket=max_bucket, stats_out=stats_out)
+                             max_bucket=max_bucket, stats_out=stats_out,
+                             reuse=reuse)
     cand_docs = (work.join(cand.select(F.col("id_a").alias(id_col)).union(
         cand.select(F.col("id_b").alias(id_col))).distinct(), id_col))
     verified = ngram_jaccard_pairs(cand_docs, id_col=id_col, col=col, k=k,
@@ -442,7 +461,8 @@ def simhash60_portable(col: str = "text") -> Column:
 def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
                        col: str = "text", max_hamming: int = 3,
                        max_bucket: int | None = None,
-                       stats_out: dict | None = None) -> DataFrame:
+                       stats_out: dict | None = None,
+                       reuse: bool = True) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, blocked on CHUNK PAIRS:
     the 60-bit portable simhash splits into 6 chunks of 10 bits; hamming<=3
     flips at most 3 chunks, so at least 3 chunks are equal and hence at
@@ -471,6 +491,7 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
             (F.shiftleft(chunk(i), chunk_bits) + chunk(j)).alias("val")))
     blocks = sh.select("id", "sh", F.explode(F.array(*pair_structs)).alias("c")) \
         .select("id", "sh", "c.blk", "c.val")
+    blocks = _reuse(blocks, reuse)
     if max_bucket is not None:
         blocks = _cap_groups(blocks, ["blk", "val"], max_bucket,
                              "simhash_max_bucket", stats_out)
@@ -534,14 +555,17 @@ def winnow_containment_pairs(df: DataFrame, *, id_col: str = "doc_id",
                              col: str = "text", k: int = 3, window: int = 4,
                              min_shared: int = 5,
                              max_posting: int | None = None,
-                             stats_out: dict | None = None) -> DataFrame:
+                             stats_out: dict | None = None,
+                             reuse: bool = True) -> DataFrame:
     """Containment / plagiarism-style candidate pairs: docs sharing at least
     ``min_shared`` winnowing fingerprints.  The sketch is an inverted index
     (fp -> docs); candidates come from the posting-list self-equi-join —
     never an all-pairs comparison.  ``max_posting`` caps degenerate posting
     lists (ubiquitous boilerplate fingerprints) the same way the LSH
     hot-bucket guards do."""
-    fps = winnow_fingerprints(df, id_col=id_col, col=col, k=k, window=window)
+    fps = _reuse(
+        winnow_fingerprints(df, id_col=id_col, col=col, k=k, window=window),
+        reuse)
     if max_posting is not None:
         fps = _cap_groups(fps, ["fp"], max_posting, "winnow_max_posting",
                           stats_out)

@@ -192,7 +192,8 @@ def exact_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
 def lsh_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.9,
                        n_tables: int = 3, n_planes: int = 8,
-                       dim: int | None = None, seed0: int = 42) -> DataFrame:
+                       dim: int | None = None, seed0: int = 42,
+                       reuse: bool = True) -> DataFrame:
     """HIGH-threshold embedding near-dup pairs — the 100 TB path: candidates
     from T independent random-projection tables (equi-join within each
     bucket; a pair qualifies if ANY table buckets it together), then exact
@@ -206,8 +207,13 @@ def lsh_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     replicate the exact candidate condition — the approximation itself is
     driver-verifiable.
     """
-    base = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v"))
+    from pastash_spark.operators.dataset import _reuse
+    # base feeds the bucket UDF AND both verify sides; bk self-joins —
+    # materialize each once (see dataset._reuse for the ReuseExchange
+    # rationale and the cluster-scale note)
+    base = _reuse(df.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).cast("array<double>").alias("v")),
+                  reuse)
     # ALL tables' buckets in ONE Arrow pass (one (T*P, dim) matmul per
     # batch), then the T per-table self-joins fuse into a single equi-join
     # on (table, bucket): a pair is a candidate iff some table buckets it
@@ -223,7 +229,9 @@ def lsh_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
         bits = ((m @ all_planes.T) > 0).reshape(len(vs), n_tables, n_planes)
         return pd.Series(list((bits * weights).sum(axis=2).astype(np.int64)))
 
-    bk = base.select("id", F.posexplode(buckets_udf("v")).alias("t", "bk"))
+    bk = _reuse(base.select("id",
+                            F.posexplode(buckets_udf("v")).alias("t", "bk")),
+                reuse)
     a_, b_ = bk.alias("a"), bk.alias("b")
     cand_ids = (a_.join(b_, (F.col("a.t") == F.col("b.t")) &
                         (F.col("a.bk") == F.col("b.bk")) &
