@@ -488,7 +488,12 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
                              localip: str = "127.0.0.1",
                              localport: int = 5060,
                              correlation_hdr: str | None = None,
-                             logs: bool = False, qos: bool = True) -> DataFrame:
+                             logs: bool = False, qos: bool = True,
+                             version: str = "7.20A.260.012",
+                             debug: bool = False, file_debug: bool = False,
+                             bypass: bool = False, autolocal: bool = False,
+                             ini=False, iniwatch: bool = False,
+                             correlation_contact: bool = False) -> DataFrame:
     """AudioCodes SBC syslog -> SIP/HEP correlation (plugins/filters/
     app_audiocodes/filter_app_audiocodes.js, default version
     7.20A.260.012).  The reference keeps driver-side state across lines —
@@ -524,10 +529,28 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
     line0 = F.regexp_replace(F.col(field), r"\r\n", "#012")
     sid_re = r"\[SID=(.*?):(.*?):(.*?)\]"
     s_re = r"\[S=([0-9]+)\]"
-    in_re = (r"(.*)---- Incoming SIP Message from (.*) to SIPInterface "
-             r"#[0-9] \((.*)\) (.*) TO.*---\s?#012(.*)#012\s?#012(.*)")
-    out_re = (r"(.*)---- Outgoing SIP Message to (.*) from SIPInterface "
-              r"#[0-9] \((.*)\) (.*) TO.*---\s?#012(.*)#012\s?#012 ?(.*)")
+    # per-version regex pairs, verbatim from filter_app_audiocodes.js
+    # :151-162/:222-230; any other version string falls back to the
+    # 7.20A.260.012 defaults exactly like the reference's else branch.
+    # debug/file_debug/bypass/iniwatch are accepted for recipe
+    # compatibility but inert (logging / raw-passthrough knobs);
+    # ini/autolocal interface-alias resolution is config-file plumbing —
+    # out of scope, pass the resolved values via localip/localport.
+    if version == "7.40A.500":
+        in_re = (r"(.*)---- Incoming SIP Message from (.*) to SIPInterface "
+                 r"#[0-9] \((.*)\) (.*) TO\(#[0-9]\) ----  (.*)()")
+        out_re = (r"(.*) ---- Outgoing SIP Message to (.*) from SIPInterface "
+                  r"#[0-9] \((.*)\) (.*) TO\(#.*\) ----  (.*)()")
+    elif version == "7.20A.256.511":
+        in_re = (r"(.*)---- Incoming SIP Message from (.*) to SIPInterface "
+                 r"#[0-9] \((.*)\) (.*) TO.*---  (.*)()")
+        out_re = (r"(.*)---- Outgoing SIP Message to (.*) from SIPInterface "
+                  r"#[0-9] \((.*)\) (.*) TO.*---  (.*)()")
+    else:
+        in_re = (r"(.*)---- Incoming SIP Message from (.*) to SIPInterface "
+                 r"#[0-9] \((.*)\) (.*) TO.*---\s?#012(.*)#012\s?#012(.*)")
+        out_re = (r"(.*)---- Outgoing SIP Message to (.*) from SIPInterface "
+                  r"#[0-9] \((.*)\) (.*) TO.*---\s?#012(.*)#012\s?#012 ?(.*)")
 
     # ``key`` partitions the reassembly stream (one device/file per
     # partition — pass e.g. ["path"]); None = single global stream like the
@@ -569,6 +592,10 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
               .otherwise(F.regexp_extract(l, out_re, 2))
     raw_pay = F.when(incoming, F.regexp_extract(l, in_re, 5)) \
                .otherwise(F.regexp_extract(l, out_re, 5))
+    if version in ("7.40A.500", "7.20A.256.511"):
+        # these versions' payload group runs to end-of-line — shed the
+        # [Time:...] trailer the 7.20A.260 pattern excludes structurally
+        raw_pay = F.regexp_replace(raw_pay, r"\s*\[Time:.*\]$", "")
     # postProcess (:57-60): #012 -> CRLF, trim, terminal CRLFCRLF
     payload = F.concat(
         F.trim(F.regexp_replace(F.concat(raw_pay, F.lit("#012 #012")),

@@ -445,6 +445,11 @@ def run_conf_files(spark, text: str, *, base_dir: str | None = None) -> list[str
         for st in stages:
             if st.get("op") == "multiline" and st.get("order") == "line_no":
                 return True
+            # the app correlation packs consume arrival order by default
+            if st.get("op") in ("app_audiocodes", "audiocodes",
+                                "app_rtpproxy") \
+                    and st.get("order", "line_no") == "line_no":
+                return True
             for sub in (st.get("then"), st.get("else")):
                 if sub and _needs_line_no(sub):
                     return True
@@ -490,6 +495,29 @@ def run_conf_files(spark, text: str, *, base_dir: str | None = None) -> list[str
     for spec in specs["output"]:
         spec = dict(spec)
         gate = spec.pop("only_if", None)
+        if spec["op"] == "hep":
+            # hep output (output_hep.js; the shipped audiocodes recipe's
+            # sink): HEPv3-encapsulate each event and deposit the frames
+            # as parquet in the output landing zone — transport delivery
+            # to host:port is the collector boundary, as with tcp/udp
+            # inputs.  `hep_id` maps to the capture agent id chunk.
+            from pastash_spark.sources.sinks import hep_serialize
+            lz = spec.get("landing_zone") or spec.get("path")
+            if not lz:
+                raise ValueError("run_conf_files: hep output needs "
+                                 "landing_zone= (frame deposit directory)")
+            view = out_df if gate in (None, True) else \
+                out_df.filter(compile_condition(gate, out_df.schema))
+            pay = "payload" if "payload" in view.columns else "message"
+            corr = ("correlation_id" if "correlation_id" in view.columns
+                    else None)
+            framed = hep_serialize(
+                view, payload_col=pay, correlation_col=corr,
+                capture_id=int(spec.get("hep_id", 2001)))
+            path = resolve(lz)
+            framed.select("hep").write.mode("overwrite").parquet(path)
+            written.append(path)
+            continue
         if spec["op"] != "file":
             continue
         view = out_df if gate in (None, True) else \

@@ -464,3 +464,65 @@ class TestEndToEnd421:
         _, outputs = build_conf(df, conf)
         counts = {spec["path"]: view.count() for spec, view in outputs}
         assert counts == {"errors": 2, "warns": 1, "bulk": 1}
+
+
+class TestAudiocodesRecipe:
+    """The shipped audiocodes recipe (plugins/filters/app_audiocodes/
+    readme.md: udp syslog input -> app_audiocodes -> conditional hep
+    output) run e2e through the landing-zone model, with the recipe's own
+    params (version/autolocal) accepted on the conf surface."""
+
+    def test_recipe_end_to_end(self, spark, tmp_path):
+        lz = tmp_path / "lz"
+        lz.mkdir()
+        lines = [
+            "[S=5] [SID=ac1:12:777] ---- Incoming SIP Message from "
+            "10.0.0.5:5060 to SIPInterface #0 (SIPGRP) UDP TO(#1) ---"
+            "#012INVITE sip:bob@x.com SIP/2.0#012Call-ID: cid-77#012"
+            "CSeq: 1 INVITE#012 #012 [Time:04-05@123]",
+            "[S=6] [SID=ac1:12:778] device chatter without sip",
+        ]
+        (lz / "p1.txt").write_text("\n".join(lines) + "\n")
+        conf = """
+        input { udp { host => 0.0.0.0 port => 514 type => syslog
+                      landing_zone => lz } }
+        filter {
+          app_audiocodes {
+            version => '7.40A.100.114'
+            debug => false
+            autolocal => true
+          }
+        }
+        output {
+          if [correlation_id] != '' {
+            hep { host => '127.0.0.1' port => 9060 hep_id => 2222
+                  landing_zone => hep_out }
+          }
+        }
+        """
+        from pastash_spark.plans.logstash_conf import run_conf_files
+        written = run_conf_files(spark, conf, base_dir=str(tmp_path))
+        assert len(written) == 1
+        frames = [bytes(r.hep) for r in
+                  spark.read.parquet(str(tmp_path / "hep_out")).collect()]
+        assert len(frames) == 1              # only the SIP row (gated)
+        f = frames[0]
+        assert f.startswith(b"HEP3")
+        assert b"INVITE sip:bob@x.com SIP/2.0\r\n" in f
+        assert b"cid-77" in f
+        # capture-id chunk carries the recipe's hep_id 2222
+        import struct
+        assert struct.pack(">HHI", 0x0C, 10, 2222) in f[4:]
+
+    def test_version_variants_parse(self, spark):
+        """7.40A.500 / 7.20A.256.511 regex variants extract the same
+        payload fields (filter_app_audiocodes.js:151-162)."""
+        from pastash_spark.operators import correlate as C
+        l740 = ("[S=5] [SID=ac1:12:900] ---- Incoming SIP Message from "
+                "10.0.0.5:5060 to SIPInterface #0 (G) UDP TO(#1) ----  "
+                "INVITE sip:x@y SIP/2.0#012Call-ID: cid-740#012 [Time:1-2@3]")
+        df = spark.createDataFrame([(1, l740)], "line_no long, message string")
+        r = C.app_audiocodes_correlate(df, version="7.40A.500").collect()
+        assert len(r) == 1 and r[0].correlation_id == "cid-740"
+        assert r[0].payload.startswith("INVITE sip:x@y SIP/2.0\r\n")
+        assert "[Time:" not in r[0].payload
