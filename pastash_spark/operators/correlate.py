@@ -597,9 +597,14 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
         # [Time:...] trailer the 7.20A.260 pattern excludes structurally
         raw_pay = F.regexp_replace(raw_pay, r"\s*\[Time:.*\]$", "")
     # postProcess (:57-60): #012 -> CRLF, trim, terminal CRLFCRLF
+    # JS String.trim strips ALL whitespace incl. CRLF; Spark's trim only
+    # strips spaces, so the trailing '#012 #012' residue needs a regex
     payload = F.concat(
-        F.trim(F.regexp_replace(F.concat(raw_pay, F.lit("#012 #012")),
-                                "#012", "\r\n")), F.lit("\r\n\r\n"))
+        F.regexp_replace(
+            F.regexp_replace(F.concat(raw_pay, F.lit("#012 #012")),
+                             "#012", "\r\n"),
+            r"^\s+|\s+$", ""),
+        F.lit("\r\n\r\n"))
     callid = F.regexp_extract(payload, r"(?i)call-id:\s?(.*?)\s?\r\n", 1)
     corr = F.when(callid != "", callid).otherwise(F.col("sid"))
     if correlation_hdr:

@@ -1550,6 +1550,50 @@ def q_kamailio_cdr(spark, sf_dir):
         keep_cols=("event_id",))
 
 
+@_q("audiocodes_sip_parse", """
+SELECT event_id,
+       's' || CAST(event_id AS VARCHAR) AS sid,
+       1 AS proto_type,
+       'INVITE sip:u' || CAST(user_id % 10 AS VARCHAR) || '@x SIP/2.0'
+         || chr(13) || chr(10) || 'Call-ID: cid-' || CAST(event_id AS VARCHAR)
+         || chr(13) || chr(10) || chr(13) || chr(10) AS payload,
+       'cid-' || CAST(event_id AS VARCHAR) AS correlation_id,
+       '10.0.' || CAST(user_id % 200 AS VARCHAR) || '.'
+         || CAST(event_id % 200 AS VARCHAR) AS src_ip,
+       5060 AS src_port,
+       '1.1.1.1' AS dst_ip,
+       5060 AS dst_port,
+       17 AS protocol
+FROM events WHERE event_id % 5 <> 0
+""")
+def q_audiocodes_sip(spark, sf_dir):
+    """app_audiocodes SIP extraction (filter_app_audiocodes.js:150-279):
+    render an Incoming-SIP-Message syslog line per event (every 5th row is
+    non-SIP chatter and must not emit), run the correlation pack, and let
+    the oracle re-derive every output analytically — direction-resolved
+    src/dst, #012→CRLF payload restore, Call-ID correlation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 != 0)
+    line = F.concat(
+        F.lit("[S="), F.col("event_id").cast("string"),
+        F.lit("] [SID=mac:1:s"), F.col("event_id").cast("string"),
+        F.lit("] ---- Incoming SIP Message from 10.0."),
+        (F.col("user_id") % 200).cast("string"), F.lit("."),
+        (F.col("event_id") % 200).cast("string"),
+        F.lit(":5060 to SIPInterface #0 (GRP) UDP TO(#1) ---"),
+        F.lit("#012INVITE sip:u"), (F.col("user_id") % 10).cast("string"),
+        F.lit("@x SIP/2.0#012Call-ID: cid-"),
+        F.col("event_id").cast("string"),
+        F.lit("#012 #012 [Time:04-05@1]"))
+    noise = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0) \
+        .select(F.col("event_id"), F.lit("plain device chatter").alias("message"))
+    src = ev.select("event_id", line.alias("message")).unionByName(noise)
+    out = C.app_audiocodes_correlate(src, order="event_id",
+                                     localip="1.1.1.1", localport=5060)
+    return out.select("event_id", "sid", "proto_type", "payload",
+                      "correlation_id", "src_ip", "src_port", "dst_ip",
+                      "dst_port", "protocol")
+
+
 @_q("revenue_by_nation", """
 SELECT n.n_name, r.r_name,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
@@ -1903,7 +1947,7 @@ _GATE_WINDOW = [
 _GATE_TAIL = [
     # round-3/4 extras (full oracles; window at capacity)
     "rfc3339_convert", "statsd_time_windows", "prometheus_parse",
-    "kamailio_cdr_parse",
+    "kamailio_cdr_parse", "audiocodes_sip_parse",
     # rotated OUT round 4 (window slots ceded to round-3 components):
     # ngram_jaccard_pairs verifies minhash_lsh_dedup, ann_lsh_topk is the
     # third ANN variant (recall pytest-pinned), token_stats overlaps
