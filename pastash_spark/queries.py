@@ -1594,6 +1594,54 @@ def q_audiocodes_sip(spark, sf_dir):
                       "dst_port", "protocol")
 
 
+@_q("rtpproxy_correlate", """
+SELECT event_id,
+       'create' AS method,
+       'tok' || CAST(event_id AS VARCHAR) AS token,
+       'corr-' || CAST(event_id AS VARCHAR) || '@h' AS correlation_id,
+       CASE (event_id % 8) WHEN 0 THEN 'PCMU' WHEN 1 THEN 'GSM'
+            WHEN 2 THEN 'PCMA' WHEN 3 THEN 'G722' WHEN 4 THEN 'G729'
+            WHEN 5 THEN 'H263' WHEN 6 THEN 'Telephony-Event'
+            ELSE 'Dynamic' END AS codec_name,
+       CAST(CASE (event_id % 8) WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 8
+            WHEN 3 THEN 9 WHEN 4 THEN 18 WHEN 5 THEN 34 WHEN 6 THEN 101
+            ELSE 96 END AS INT) AS codec_pt,
+       8000 AS codec_rate,
+       CAST(user_id % 2 AS INT) AS direction,
+       CAST(30000 + event_id % 1000 AS VARCHAR) AS port,
+       '10.1.0.' || CAST(event_id % 250 AS VARCHAR) AS ip
+FROM events
+""")
+def q_rtpproxy(spark, sf_dir):
+    """app_rtpproxy correlation (filter_app_rtpproxy.js:55-115): render a
+    command + reply line pair per event, correlate them through the as-of
+    token join, and re-derive the emitted create objects analytically —
+    RTPmap codec table, U/L direction, reply port/ip completion."""
+    ev = _t(spark, sf_dir, "events")
+    pts = F.element_at(F.array(*[F.lit(x) for x in
+                                 (0, 3, 8, 9, 18, 34, 101, 96)]),
+                       (F.col("event_id") % 8 + 1).cast("int"))
+    mode = F.when(F.col("user_id") % 2 == 1, "L").otherwise("U")
+    cmd = F.concat(F.lit('received command "tok'),
+                   F.col("event_id").cast("string"), F.lit(" "), mode,
+                   F.lit("c"), pts.cast("string"),
+                   F.lit(",101 corr-"), F.col("event_id").cast("string"),
+                   F.lit('@h 1 2"'))
+    rep = F.concat(F.lit('sending reply "tok'),
+                   F.col("event_id").cast("string"), F.lit(" "),
+                   (30000 + F.col("event_id") % 1000).cast("string"),
+                   F.lit(" 10.1.0."), (F.col("event_id") % 250).cast("string"),
+                   F.lit("#012"))
+    lines = (ev.select((F.col("event_id") * 2).alias("ord"),
+                       cmd.alias("message"))
+             .unionByName(ev.select((F.col("event_id") * 2 + 1).alias("ord"),
+                                    rep.alias("message"))))
+    out = C.app_rtpproxy_correlate(lines, order="ord")
+    return out.select(((F.col("ord") - 1) / 2).cast("long").alias("event_id"),
+                      "method", "token", "correlation_id", "codec_name",
+                      "codec_pt", "codec_rate", "direction", "port", "ip")
+
+
 @_q("revenue_by_nation", """
 SELECT n.n_name, r.r_name,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
@@ -1947,7 +1995,7 @@ _GATE_WINDOW = [
 _GATE_TAIL = [
     # round-3/4 extras (full oracles; window at capacity)
     "rfc3339_convert", "statsd_time_windows", "prometheus_parse",
-    "kamailio_cdr_parse", "audiocodes_sip_parse",
+    "kamailio_cdr_parse", "audiocodes_sip_parse", "rtpproxy_correlate",
     # rotated OUT round 4 (window slots ceded to round-3 components):
     # ngram_jaccard_pairs verifies minhash_lsh_dedup, ann_lsh_topk is the
     # third ANN variant (recall pytest-pinned), token_stats overlaps
