@@ -65,6 +65,8 @@ HEADLINE = [
     # order so the shared-31 delta stays directly comparable)
     "sip_parse", "xml_extract", "pack_sequences", "dataset_split",
     "ngram_repetition_filter", "multimodal_decode", "hep_frame",
+    # r04 app-pack oracle queries (tail; appended for perf visibility)
+    "kamailio_cdr_parse", "audiocodes_sip_parse", "rtpproxy_correlate",
 ]
 
 

@@ -489,6 +489,7 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
                              localport: int = 5060,
                              correlation_hdr: str | None = None,
                              logs: bool = False, qos: bool = True,
+                             partition_by_sid: bool = False,
                              version: str = "7.20A.260.012",
                              debug: bool = False, file_debug: bool = False,
                              bypass: bool = False, autolocal: bool = False,
@@ -554,10 +555,17 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
 
     # ``key`` partitions the reassembly stream (one device/file per
     # partition — pass e.g. ["path"]); None = single global stream like the
-    # reference's one-agent state, fine for a landing zone per device but a
-    # single-partition sort at scale — partition it there.
-    w_seq = (Window.partitionBy(*key) if key else Window.partitionBy()) \
-        .orderBy(F.col(order))
+    # reference's one-agent state — a single-partition sort, which at scale
+    # is a killer.  ``partition_by_sid`` keys the stream on the extracted
+    # [SID=..] session instead (a documented, scale-correct divergence: a
+    # fragmented message's continuation packet carries the SAME SID, so
+    # per-SID ordering preserves the seq+1 reassembly while the shuffle key
+    # becomes high-cardinality).
+    seq_keys = list(key or ())
+    if partition_by_sid:
+        seq_keys.append("sid")
+    w_seq = (Window.partitionBy(*seq_keys) if seq_keys
+             else Window.partitionBy()).orderBy(F.col(order))
     base = (df.select(*(key or ()), F.col(order), line0.alias("_l"))
             .withColumn("_s", F.regexp_extract(F.col("_l"), s_re, 1)
                         .try_cast("long"))

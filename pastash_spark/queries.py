@@ -1588,6 +1588,7 @@ def q_audiocodes_sip(spark, sf_dir):
         .select(F.col("event_id"), F.lit("plain device chatter").alias("message"))
     src = ev.select("event_id", line.alias("message")).unionByName(noise)
     out = C.app_audiocodes_correlate(src, order="event_id",
+                                     partition_by_sid=True,
                                      localip="1.1.1.1", localport=5060)
     return out.select("event_id", "sid", "proto_type", "payload",
                       "correlation_id", "src_ip", "src_port", "dst_ip",
