@@ -269,14 +269,22 @@ def q_asof_lru(spark, sf_dir):
 # =========================================================================
 
 @_q("cacheloop_agg", """
-SELECT user_id AS extract, COUNT(*) AS count, ROUND(AVG(value), 6) AS avg_value
+SELECT user_id AS extract, COUNT(*) AS count,
+       ROUND(AVG(CAST(floor(value * 1000 + 0.5) AS BIGINT)), 6) AS avg_value
 FROM events GROUP BY user_id
 """)
 def q_cacheloop(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    """cacheloop count/avg per key.  The averaged column is pre-quantized
+    to an integer (milli-units): avg over BIGINT is an EXACT integer sum
+    followed by one IEEE division in both engines, so the result is
+    independent of partial-aggregation order — double AVG rounded to 6 dp
+    drifted at sf0.1 once the split-scan loader changed partition order."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_mil", F.floor(F.col("value") * 1000 + 0.5).cast("long"))
     out = C.cacheloop_aggregate(ev, extract="user_id",
-                                avg_fields=["value"], collect=False)
-    return out.withColumn("avg_value", F.round("avg_value", 6))
+                                avg_fields=["value_mil"], collect=False)
+    return out.select("extract", "count",
+                      F.round("avg_value_mil", 6).alias("avg_value"))
 
 
 @_q("sessionize", """
