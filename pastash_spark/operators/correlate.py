@@ -10,8 +10,10 @@ variants live in streaming/.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -344,6 +346,210 @@ def app_sonus_reassemble(df: DataFrame, *, source: str = "path",
             .drop("_grp"))
 
 
+# --- janus trace/span assembly ------------------------------------------------
+
+_JANUS_USER_EVENTS = ("joined", "configured", "published", "subscribing",
+                      "subscribed", "updated", "unpublished", "leaving")
+
+
+def janus_trace_spans(df: DataFrame, *, order: str = "event_id",
+                      ts: str = "ts_us", session: str = "session_id",
+                      types: Sequence[int] | None = None) -> DataFrame:
+    """Janus event -> OTel-style trace/span assembly: the span-pairing
+    kernel shared by plugins/filters/app_janus/filter_app_janus_tracer.js
+    (:174-919, flat deterministic-id spans) and app_janus_uptrace/
+    filter_app_janus_uptrace.js (:140-420, LRU-paired start/end spans with
+    real durations).  We implement the uptrace PAIRING with the tracer's
+    span NAMES/services — per session (the trace):
+
+      * type 1 ``created`` OPENS the root ``Session`` span; ``destroyed``
+        CLOSES it (uptrace :153-173 lru sess_*) and emits the point span
+        ``Session destroyed``.
+      * type 2 ``attached`` opens ``Handle attached`` (lru att_*, parent =
+        Session); ``detached`` closes it + point ``Handle detached``.
+      * type 8 jsep ``offer`` opens ``JSEP Event - Offer`` (lru sdp_*);
+        owner ``local`` closes it + point ``JSEP Event - Answer``.
+      * type 16 subtype 1 ``gathering`` opens ``ICE gathering`` (lru
+        ice_*); ``connecting``/``connected`` are point children;
+        ``ready`` closes it + point ``ICE ready``.  Subtypes 2/3/4 emit
+        point children ``Local Candidate``/``Remote Candidate``/
+        ``Selected Candidates``; subtype 5 ``DTLS trying``/``DTLS
+        connected``; subtype 6 ``Connection Up`` — all parented to the
+        open ICE span (tracer :447-566).
+      * type 4 -> point ``External Event`` (service External); type 64
+        data.event in joined/configured/published/subscribing/subscribed/
+        updated/unpublished/leaving -> point ``User <event>`` (service
+        Plugin) — both parented to the Session span (tracer :300-320,
+        :698-814).
+      * type 128 -> point ``Transport connected`` (service ``Transport
+        Originated``); type 256 subtype 1/2 -> ``Startup``/``Shutdown``
+        (service Core).  No session exists, so the trace key is the
+        EMITTER.  Documented divergences: the tracer keys 128 on
+        ``Math.random()`` (:636) — we key deterministically; its 256
+        branch compares the stringified subtype with ``=== 1`` (:662-668)
+        so it never actually emits — we implement the documented intent.
+
+    Like the reference, a close without a live open pairs with the stale
+    open (the LRU never deletes att_/sdp_/ice_ entries); an open that is
+    never closed is never exported (the LRU span is dropped unflushed).
+    Batch re-expression: ONE shuffle — a per-trace-key window forward-
+    fills each family's open (order, ts), closes emit the paired span
+    with its real duration plus their point span, via one array-explode.
+
+    Deterministic ids (cross-engine-portable divergence, documented: the
+    reference uses md5 for trace ids but shake256/random bytes for span
+    ids — same determinism-or-uniqueness intent, different hash):
+    trace_id = md5(trace_key); root span_id = md5(trace_key)[:16]; child
+    span ids = md5(trace_key:family:order)[:16].
+
+    Expects columns: ``type`` int, ``session_id``, ``order``/``ts``
+    (BIGINT event time, e.g. Janus micros) plus the optional per-type
+    string columns subtype(int)/event_name/jsep_type/jsep_owner/
+    ice_state/dtls_state/data_event/emitter (missing ones read as NULL).
+    Output: one row per span — (order, session_id, trace_id, span_id,
+    parent_span_id, name, service, start_us, end_us, duration_us).
+    Type 32 media METRICS are the tracer's prometheus half — covered by
+    app_janus_correlate's enrichment, not spans."""
+    cols = set(df.columns)
+
+    def c(name: str, dtype: str = "string") -> Column:
+        return (F.col(name).cast(dtype) if name in cols
+                else F.lit(None).cast(dtype))
+
+    t = F.col("type").cast("int")
+    sub = c("subtype", "int")
+    name_ev = c("event_name")
+    jsep_type, jsep_owner = c("jsep_type"), c("jsep_owner")
+    ice, dtls, data_ev = c("ice_state"), c("dtls_state"), c("data_event")
+    emitter = c("emitter")
+    if types is not None:
+        df = df.filter(t.isin(*[int(x) for x in types]))
+
+    tk = F.when(t.isin(128, 256), F.concat(F.lit("em:"), F.coalesce(
+        emitter, F.lit("")))).otherwise(F.col(session).cast("string"))
+    base = df.withColumn("_tk", tk)
+    w = Window.partitionBy("_tk").orderBy(F.col(order))
+    ts_c = F.col(ts).cast("long")
+
+    open_sess = (t == 1) & (name_ev == "created")
+    close_sess = (t == 1) & (name_ev == "destroyed")
+    open_att = (t == 2) & (name_ev == "attached")
+    close_att = (t == 2) & (name_ev == "detached")
+    open_sdp = (t == 8) & (jsep_type == "offer")
+    close_sdp = (t == 8) & (jsep_owner == "local")
+    open_ice = (t == 16) & (sub == 1) & (ice == "gathering")
+    close_ice = (t == 16) & (sub == 1) & (ice == "ready")
+
+    def ffill(flag: Column, val: Column) -> Column:
+        return F.last(F.when(flag, val), ignorenulls=True).over(w)
+
+    base = (base
+            .withColumn("_sess_ts", ffill(open_sess, ts_c))
+            .withColumn("_att_ord", ffill(open_att, F.col(order)))
+            .withColumn("_att_ts", ffill(open_att, ts_c))
+            .withColumn("_sdp_ord", ffill(open_sdp, F.col(order)))
+            .withColumn("_sdp_ts", ffill(open_sdp, ts_c))
+            .withColumn("_ice_ord", ffill(open_ice, F.col(order)))
+            .withColumn("_ice_ts", ffill(open_ice, ts_c)))
+
+    trace_id = F.md5(F.col("_tk"))
+    root_id = F.substring(trace_id, 1, 16)
+
+    def child_id(family: str, ord_col: Column) -> Column:
+        return F.substring(
+            F.md5(F.concat_ws(":", F.col("_tk"), F.lit(family),
+                              ord_col.cast("string"))), 1, 16)
+
+    def span(nm, service, span_id, parent, start, end) -> Column:
+        return F.struct(
+            F.lit(nm).alias("name") if isinstance(nm, str)
+            else nm.alias("name"),
+            F.lit(service).alias("service"),
+            span_id.alias("span_id"),
+            parent.alias("parent_span_id"),
+            start.cast("long").alias("start_us"),
+            end.cast("long").alias("end_us"),
+            (end - start).cast("long").alias("duration_us"))
+
+    null_parent = F.lit(None).cast("string")
+    att_id = child_id("att", F.col("_att_ord"))
+    sdp_id = child_id("sdp", F.col("_sdp_ord"))
+    ice_id = child_id("ice", F.col("_ice_ord"))
+
+    # paired OPEN-span emission, at the family's close event
+    open_emit = (
+        F.when(close_att & F.col("_att_ord").isNotNull(),
+               span("Handle attached", "Handle", att_id, root_id,
+                    F.col("_att_ts"), ts_c))
+        .when(close_sdp & F.col("_sdp_ord").isNotNull(),
+              span("JSEP Event - Offer", "JSEP", sdp_id, root_id,
+                   F.col("_sdp_ts"), ts_c))
+        .when(close_ice & F.col("_ice_ord").isNotNull(),
+              span("ICE gathering", "ICE", ice_id, root_id,
+                   F.col("_ice_ts"), ts_c))
+        .when(close_sess & F.col("_sess_ts").isNotNull(),
+              span("Session", "Session", root_id, null_parent,
+                   F.col("_sess_ts"), ts_c)))
+
+    pt_id = child_id("pt", F.col(order))
+    ice16 = (t == 16) & sub.isin(2, 3, 4, 5, 6)
+    ice16_name = (
+        F.when(sub == 2, "Local Candidate")
+        .when(sub == 3, "Remote Candidate")
+        .when(sub == 4, "Selected Candidates")
+        .when((sub == 5) & (dtls == "trying"), "DTLS trying")
+        .when((sub == 5) & (dtls == "connected"), "DTLS connected")
+        .when(sub == 6, "Connection Up"))
+    ice1_pt = (t == 16) & (sub == 1) & ice.isin("connecting", "connected",
+                                                "ready")
+    ice1_name = (F.when(ice == "connecting", "ICE connecting")
+                 .when(ice == "connected", "ICE connected")
+                 .otherwise("ICE ready"))
+    point_emit = (
+        F.when(close_sess,
+               span("Session destroyed", "Session", pt_id, root_id,
+                    ts_c, ts_c))
+        .when(close_att,
+              span("Handle detached", "Handle", pt_id, att_id, ts_c, ts_c))
+        .when(close_sdp,
+              span("JSEP Event - Answer", "JSEP", pt_id, sdp_id,
+                   ts_c, ts_c))
+        .when(ice1_pt,
+              span(ice1_name, "ICE", pt_id, ice_id, ts_c, ts_c))
+        .when(ice16 & ice16_name.isNotNull(),
+              span(ice16_name, "ICE", pt_id, ice_id, ts_c, ts_c))
+        .when(t == 4,
+              span("External Event", "External", pt_id, root_id,
+                   ts_c, ts_c))
+        .when((t == 64) & data_ev.isin(*_JANUS_USER_EVENTS),
+              span(F.concat(F.lit("User "), data_ev), "Plugin", pt_id,
+                   root_id, ts_c, ts_c))
+        .when(t == 128,
+              span("Transport connected", "Transport Originated", pt_id,
+                   root_id, ts_c, ts_c))
+        .when((t == 256) & (sub == 1),
+              span("Startup", "Core", pt_id, root_id, ts_c, ts_c))
+        .when((t == 256) & (sub == 2),
+              span("Shutdown", "Core", pt_id, root_id, ts_c, ts_c)))
+
+    out = (base
+           .withColumn("_spans", F.filter(
+               F.array(open_emit, point_emit), lambda x: x.isNotNull()))
+           .filter(F.size("_spans") > 0)
+           .select(F.col(order), F.col(session).alias("session_id"),
+                   trace_id.alias("trace_id"),
+                   F.explode("_spans").alias("_sp"))
+           .select(F.col(order), "session_id", "trace_id",
+                   F.col("_sp.span_id").alias("span_id"),
+                   F.col("_sp.parent_span_id").alias("parent_span_id"),
+                   F.col("_sp.name").alias("name"),
+                   F.col("_sp.service").alias("service"),
+                   F.col("_sp.start_us").alias("start_us"),
+                   F.col("_sp.end_us").alias("end_us"),
+                   F.col("_sp.duration_us").alias("duration_us")))
+    return out
+
+
 # --- app_rtpproxy -------------------------------------------------------------
 
 # RTPmap payload-type table (filter_app_rtpproxy.js:10-29 — the public RFC
@@ -428,7 +634,15 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
     w_last_alias = Window.partitionBy("_r_ord").orderBy(F.col("_a_ord").desc())
     do_replies = (do_replies
                   .withColumn("_rn", F.row_number().over(w_last_alias))
-                  .filter(F.col("_rn") == 1)
+                  .filter(F.col("_rn") == 1))
+    # the reference NULLs ipcache['port_'+port] after emitting (:100) — an
+    # alias publication is consumed by its FIRST doreply; later doreplies
+    # on the same port need a fresh 'new session on IPv4 port' line
+    w_alias_consume = Window.partitionBy("_r_port", "_a_ord") \
+        .orderBy(F.col("_r_ord"))
+    do_replies = (do_replies
+                  .withColumn("_rn2", F.row_number().over(w_alias_consume))
+                  .filter(F.col("_rn2") == 1)
                   .select(F.col("_a_token").alias("token"),
                           F.col("_r_port").alias("port"), "ip", "_r_ord"))
 
@@ -482,6 +696,46 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
 
 # --- app_audiocodes -----------------------------------------------------------
 
+_AC_STRUCT = "hit tinyint, remote string, raw_pay string, tail string"
+
+
+def _ac_matcher_udf(in_re: str, out_re: str):
+    """ONE Arrow pass evaluating the two heavy audiocodes SIP-message
+    regexes per line and returning every needed group at once — hit
+    (0 none / 1 incoming / 2 outgoing), remote ip:port (group 2), raw
+    payload (group 5) and the trailing group 6 (the reference's ``ip[6]``
+    fragment-seek input).  Replaces ~6-8 per-row JVM regex evaluations
+    (rlike + per-group regexp_extract, re-run on lag/lead copies) with a
+    single compiled-regex search per line; the patterns are plain
+    ``(.*)``-class expressions, identical under Java and Python `re`
+    semantics (both ``search``, both greedy, ``.`` excludes newline)."""
+    rin, rout = re.compile(in_re), re.compile(out_re)
+
+    @F.pandas_udf(_AC_STRUCT)
+    def match(s: pd.Series) -> pd.DataFrame:
+        s = s.fillna("")
+        hit = pd.Series(0, index=s.index, dtype="int8")
+        remote = pd.Series(None, index=s.index, dtype="object")
+        raw = pd.Series(None, index=s.index, dtype="object")
+        tail = pd.Series(None, index=s.index, dtype="object")
+        is_in = s.str.contains("Incoming SIP Message", regex=False)
+        # reference branch order: Incoming checked first (elif Outgoing)
+        is_out = ~is_in & s.str.contains("Outgoing SIP Message", regex=False)
+        for mask, rx, code in ((is_in, rin, 1), (is_out, rout, 2)):
+            if not mask.any():
+                continue
+            g = s[mask].str.extract(rx)  # one regex eval per line
+            ok = g[0].notna()
+            idx = g.index[ok]
+            hit.loc[idx] = code
+            remote.loc[idx] = g.loc[idx, 1]
+            raw.loc[idx] = g.loc[idx, 4]
+            tail.loc[idx] = g.loc[idx, 5]
+        return pd.DataFrame(
+            {"hit": hit, "remote": remote, "raw_pay": raw, "tail": tail})
+
+    return match
+
 def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
                              order: str = "line_no",
                              key: "Sequence[str] | None" = None,
@@ -489,7 +743,7 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
                              localport: int = 5060,
                              correlation_hdr: str | None = None,
                              logs: bool = False, qos: bool = True,
-                             partition_by_sid: bool = False,
+                             partition_by_sid: bool = True,
                              version: str = "7.20A.260.012",
                              debug: bool = False, file_debug: bool = False,
                              bypass: bool = False, autolocal: bool = False,
@@ -512,6 +766,14 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
         merge with the NEXT line when its ``[S=n]`` sequence is exactly
         one higher (:135-145): a lead() window over ``order``, one
         continuation packet like the reference's single ``cache`` slot.
+        The 'Seek final fragment' re-hold (:209/:276) is implemented one
+        level deep: a MATCHED line whose trailing group contains another
+        ``' SIP Message '`` also merges with the next [S=n+1] line and
+        emits that SECOND message (chained re-holds — a third message in
+        the same line — are not re-held, matching the single-slot model).
+        Both heavy version regexes run ONCE per line inside a single
+        Arrow pass (`_ac_matcher_udf`); lead/lag ride precomputed
+        struct/ tail columns, never regex re-evaluation.
       * ``MEDIA_END`` lines (:294-341, qos=True) split on ``|`` into the
         QoS vector and emit TWO proto_type=35 rows (A-leg / B-leg) whose
         payload is the reference's JSON report — MOS = 4.5*int(q)/127,
@@ -551,100 +813,144 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
         in_re = (r"(.*)---- Incoming SIP Message from (.*) to SIPInterface "
                  r"#[0-9] \((.*)\) (.*) TO.*---\s?#012(.*)#012\s?#012(.*)")
         out_re = (r"(.*)---- Outgoing SIP Message to (.*) from SIPInterface "
-                  r"#[0-9] \((.*)\) (.*) TO.*---\s?#012(.*)#012\s?#012 ?(.*)")
+                  r"#[0-9] \((.*)\) (.*) TO.*---\s?#012(.*)#012\s?#012 (.*)")
+    matcher = _ac_matcher_udf(in_re, out_re)
 
     # ``key`` partitions the reassembly stream (one device/file per
-    # partition — pass e.g. ["path"]); None = single global stream like the
-    # reference's one-agent state — a single-partition sort, which at scale
-    # is a killer.  ``partition_by_sid`` keys the stream on the extracted
-    # [SID=..] session instead (a documented, scale-correct divergence: a
-    # fragmented message's continuation packet carries the SAME SID, so
-    # per-SID ordering preserves the seq+1 reassembly while the shuffle key
-    # becomes high-cardinality).
+    # partition — pass e.g. ["path"]); ``partition_by_sid`` (the DEFAULT)
+    # keys the stream on the extracted [SID=..] session instead — a
+    # documented, scale-correct divergence: a fragmented message's
+    # continuation packet carries the SAME SID, so per-SID ordering
+    # preserves the seq+1 reassembly while the shuffle key becomes
+    # high-cardinality.  Passing key=None AND partition_by_sid=False
+    # reproduces the reference's one-agent global stream exactly but is a
+    # single-partition global sort — the scale-killer BENCH.md documents —
+    # so it must be an explicit opt-in.
     seq_keys = list(key or ())
     if partition_by_sid:
         seq_keys.append("sid")
     w_seq = (Window.partitionBy(*seq_keys) if seq_keys
              else Window.partitionBy()).orderBy(F.col(order))
+    tail_re = r".*\[S=[0-9]+\].*?\[SID=.*?\]\s?(.*)\[Time:.*\]"
     base = (df.select(*(key or ()), F.col(order), line0.alias("_l"))
             .withColumn("_s", F.regexp_extract(F.col("_l"), s_re, 1)
                         .try_cast("long"))
-            .withColumn("sid", F.regexp_extract(F.col("_l"), sid_re, 3)))
+            .withColumn("sid", F.regexp_extract(F.col("_l"), sid_re, 3))
+            # the reassembly `message` regex's group 2 (reference :130-133
+            # test[2]) — extracted per row once, then carried through
+            # lead() instead of re-running the regex on the lead copy
+            .withColumn("_mtail",
+                        F.regexp_extract(F.col("_l"), tail_re, 1))
+            .withColumn("_p", matcher(F.col("_l"))))
     is_sipline = (F.col("_l").contains("Incoming SIP Message")
                   | F.col("_l").contains("Outgoing SIP Message"))
-    matches = F.col("_l").rlike(in_re) | F.col("_l").rlike(out_re)
-    # one-slot reassembly: a failed SIP line + the next [S=n+1] line
-    nxt = F.lead("_l", 1).over(w_seq)
+    incomplete = is_sipline & (F.col("_p.hit") == 0)
+    # 'Seek final fragment' re-hold (:209/:276): a MATCHED line whose
+    # trailing group carries another ' SIP Message ' holds itself too —
+    # the next [S=n+1] line completes a SECOND message (the reference's
+    # greedy group-1 re-parse of cache+tail).  One reassembly level, like
+    # the reference's single cache slot; gated off for 7.40A.500 exactly
+    # as upstream.
+    if version == "7.40A.500":
+        refrag = F.lit(False)
+    else:
+        refrag = ((F.col("_p.hit") != 0)
+                  & F.coalesce(F.col("_p.tail").contains(" SIP Message "),
+                               F.lit(False)))
+    base = base.withColumn("_hold", incomplete | refrag)
+    # one-slot reassembly: a held line + the next [S=n+1] line
     nxt_s = F.lead("_s", 1).over(w_seq)
-    nxt_tail = F.regexp_extract(
-        nxt, r".*\[S=[0-9]+\].*?\[SID=.*?\]\s?(.*)\[Time:.*\]", 1)
+    nxt_mtail = F.lead("_mtail", 1).over(w_seq)
+    can_merge = nxt_s == F.col("_s") + 1
     merged = F.concat(F.regexp_replace(F.col("_l"), r"\[Time.*\]$", ""),
-                      F.coalesce(nxt_tail, F.lit("")))
+                      F.coalesce(nxt_mtail, F.lit("")))
+    merge_cond = incomplete & can_merge
+    refrag_cond = refrag & can_merge
+    base = (base
+            .withColumn("_line", F.when(merge_cond, merged)
+                        .otherwise(F.col("_l")))
+            # window-expression conditions must be materialized before any
+            # .filter can reference them (no window funcs in WHERE)
+            .withColumn("_refrag_ok", refrag_cond)
+            # second Arrow pass ONLY over reassembled strings (null
+            # elsewhere — the matcher short-circuits on empty input)
+            .withColumn("_p1", matcher(F.when(merge_cond, merged)))
+            .withColumn("_p2", matcher(F.when(refrag_cond, merged))))
     base = base.withColumn(
-        "_line",
-        F.when(is_sipline & ~matches & (nxt_s == F.col("_s") + 1), merged)
-         .otherwise(F.col("_l")))
+        "_pf", F.when(merge_cond, F.col("_p1")).otherwise(F.col("_p")))
     # a line consumed as a continuation must not emit again
-    prev_l = F.lag("_l", 1).over(w_seq)
+    prev_hold = F.lag("_hold", 1).over(w_seq)
     prev_s = F.lag("_s", 1).over(w_seq)
-    prev_incomplete = (prev_l.contains("SIP Message")
-                       & ~(prev_l.rlike(in_re) | prev_l.rlike(out_re))
-                       & (prev_s == F.col("_s") - 1))
-    base = base.withColumn("_consumed",
-                           F.coalesce(prev_incomplete, F.lit(False)))
+    base = base.withColumn(
+        "_consumed",
+        F.coalesce(prev_hold & (prev_s == F.col("_s") - 1), F.lit(False)))
 
-    l = F.col("_line")
-    incoming = l.rlike(in_re)
-    outgoing = l.rlike(out_re)
-    remote = F.when(incoming, F.regexp_extract(l, in_re, 2)) \
-              .otherwise(F.regexp_extract(l, out_re, 2))
-    raw_pay = F.when(incoming, F.regexp_extract(l, in_re, 5)) \
-               .otherwise(F.regexp_extract(l, out_re, 5))
-    if version in ("7.40A.500", "7.20A.256.511"):
-        # these versions' payload group runs to end-of-line — shed the
-        # [Time:...] trailer the 7.20A.260 pattern excludes structurally
-        raw_pay = F.regexp_replace(raw_pay, r"\s*\[Time:.*\]$", "")
-    # postProcess (:57-60): #012 -> CRLF, trim, terminal CRLFCRLF
-    # JS String.trim strips ALL whitespace incl. CRLF; Spark's trim only
-    # strips spaces, so the trailing '#012 #012' residue needs a regex
-    payload = F.concat(
-        F.regexp_replace(
-            F.regexp_replace(F.concat(raw_pay, F.lit("#012 #012")),
-                             "#012", "\r\n"),
-            r"^\s+|\s+$", ""),
-        F.lit("\r\n\r\n"))
-    callid = F.regexp_extract(payload, r"(?i)call-id:\s?(.*?)\s?\r\n", 1)
-    corr = F.when(callid != "", callid).otherwise(F.col("sid"))
-    if correlation_hdr:
-        xcid = F.regexp_extract(
-            payload, correlation_hdr + r":\s?(.*)\r\n\r\n", 1)
-        corr = F.when(payload.startswith("INVITE") & (xcid != ""), xcid) \
-                .otherwise(corr)
-    proto = F.when(payload.contains("2.0/TCP")
-                   | payload.contains("2.0/TLS"), 6).otherwise(17)
-    r_ip = F.get(F.split(remote, ":"), 0)
-    r_port = F.get(F.split(remote, ":"), 1).try_cast("int")
-    sip_rows = (base.filter((incoming | outgoing) & ~F.col("_consumed"))
+    def _sip_select(p: Column, extra_filter: Column) -> DataFrame:
+        """Emit proto_type=1 SIP rows from one parsed struct column —
+        shared by the primary parse and the re-hold second message."""
+        hit, remote = p["hit"], p["remote"]
+        raw_pay = p["raw_pay"]
+        if version in ("7.40A.500", "7.20A.256.511"):
+            # these versions' payload group runs to end-of-line — shed the
+            # [Time:...] trailer the 7.20A.260 pattern excludes structurally
+            raw_pay = F.regexp_replace(raw_pay, r"\s*\[Time:.*\]$", "")
+        # postProcess (:57-60): #012 -> CRLF, trim, terminal CRLFCRLF
+        # JS String.trim strips ALL whitespace incl. CRLF; Spark's trim
+        # only strips spaces, so the '#012 #012' residue needs a regex
+        payload = F.concat(
+            F.regexp_replace(
+                F.regexp_replace(F.concat(raw_pay, F.lit("#012 #012")),
+                                 "#012", "\r\n"),
+                r"^\s+|\s+$", ""),
+            F.lit("\r\n\r\n"))
+        callid = F.regexp_extract(payload,
+                                  r"(?i)call-id:\s?(.*?)\s?\r\n", 1)
+        corr = F.when(callid != "", callid).otherwise(F.col("sid"))
+        if correlation_hdr:
+            xcid = F.regexp_extract(
+                payload, correlation_hdr + r":\s?(.*)\r\n\r\n", 1)
+            corr = (F.when(payload.startswith("INVITE") & (xcid != ""),
+                           xcid).otherwise(corr))
+        proto = F.when(payload.contains("2.0/TCP")
+                       | payload.contains("2.0/TLS"), 6).otherwise(17)
+        incoming = hit == 1
+        r_ip = F.get(F.split(remote, ":"), 0)
+        r_port = F.get(F.split(remote, ":"), 1).try_cast("int")
+        return (base.filter((hit != 0) & ~F.col("_consumed") & extra_filter)
                 .select(
-        F.col(order), "sid", F.lit(1).alias("proto_type"),
-        payload.alias("payload"), corr.alias("correlation_id"),
-        F.when(incoming, r_ip).otherwise(F.lit(localip)).alias("src_ip"),
-        F.when(incoming, r_port).otherwise(F.lit(localport)).cast("int")
-         .alias("src_port"),
-        F.when(incoming, F.lit(localip)).otherwise(r_ip).alias("dst_ip"),
-        F.when(incoming, F.lit(localport)).otherwise(r_port).cast("int")
-         .alias("dst_port"),
-        proto.alias("protocol")))
+            F.col(order), "sid", F.lit(1).alias("proto_type"),
+            payload.alias("payload"), corr.alias("correlation_id"),
+            F.when(incoming, r_ip).otherwise(F.lit(localip))
+             .alias("src_ip"),
+            F.when(incoming, r_port).otherwise(F.lit(localport))
+             .cast("int").alias("src_port"),
+            F.when(incoming, F.lit(localip)).otherwise(r_ip)
+             .alias("dst_ip"),
+            F.when(incoming, F.lit(localport)).otherwise(r_port)
+             .cast("int").alias("dst_port"),
+            proto.alias("protocol")))
+
+    sip_rows = _sip_select(F.col("_pf"), F.lit(True))
+    # the re-hold's second message rides the SAME order value, directly
+    # after its primary row
+    sip_refrag = _sip_select(F.col("_p2"), F.col("_refrag_ok"))
+    sip_rows = sip_rows.unionByName(sip_refrag)
 
     outs = [sip_rows]
+    l = F.col("_line")
     schema_cols = ["proto_type", "payload", "correlation_id", "src_ip",
                    "src_port", "dst_ip", "dst_port", "protocol"]
 
     if qos:
-        # MEDIA_END: '|'-separated vector; 25-field variants drop idx 15
-        # then idx 5 (:299-302) so both shapes index identically
+        # MEDIA_END: split on whitespace+pipe like the reference's
+        # /(\s+\|)/ tokenizer (:297) — a '|' NOT preceded by whitespace
+        # stays inside its field; 25-field variants drop idx 15 then idx 5
+        # (:299-302) so both shapes index identically.  Divergence (doc'd):
+        # we trim each token, the reference keeps a leading space when the
+        # separator has trailing whitespace (' | b' -> ' b') — real
+        # MEDIA_END vectors use 'field |field' so the planes agree.
         toks0 = F.filter(
-            F.transform(F.split(l, r"\|"), lambda x: F.trim(x)),
+            F.transform(F.split(l, r"\s+\|"), lambda x: F.trim(x)),
             lambda x: F.length(x) > 1)
         media = (base.filter(l.contains("MEDIA_END ") & ~F.col("_consumed"))
                  .withColumn("_q0", toks0))
@@ -663,6 +969,9 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
             return F.get(q, i)
 
         def report(dir_, src, sport, dst, dport, mos_i, pk_i):
+            # deliberate divergence: the reference serializes the full JS
+            # double (4.5*q/127); we round to 6 dp so the JSON payload is
+            # byte-stable across engines for the analytic oracle
             mos = F.round(F.lit(4.5) * g(mos_i).try_cast("int") / 127, 6)
             pay = F.to_json(F.struct(
                 g(2).alias("CORRELATION_ID"),
@@ -693,7 +1002,7 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
 
     if logs:
         cdr_toks = F.filter(
-            F.transform(F.split(l, r"\|"), lambda x: F.trim(x)),
+            F.transform(F.split(l, r"\s+\|"), lambda x: F.trim(x)),
             lambda x: F.length(x) > 1)
         call_end = (base.filter(l.contains("CALL_END ")
                                 & ~F.col("_consumed"))

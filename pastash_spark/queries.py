@@ -1603,6 +1603,83 @@ def q_audiocodes_sip(spark, sf_dir):
                       "dst_port", "protocol")
 
 
+@_q("janus_trace_spans", """
+WITH e AS (SELECT event_id AS eid,
+                  'js' || CAST(event_id AS VARCHAR) AS s FROM events),
+ids AS (SELECT eid, s, md5(s) AS tid, substr(md5(s), 1, 16) AS root,
+        substr(md5(s || ':att:' || CAST(eid*8+1 AS VARCHAR)), 1, 16) AS att,
+        substr(md5(s || ':sdp:' || CAST(eid*8+2 AS VARCHAR)), 1, 16) AS sdp,
+        substr(md5(s || ':ice:' || CAST(eid*8+3 AS VARCHAR)), 1, 16) AS ice,
+        eid*1000 AS t0 FROM e)
+SELECT CAST(eid*8+4 AS BIGINT) AS ord, s AS session_id, tid AS trace_id,
+       ice AS span_id, root AS parent_span_id,
+       'ICE gathering' AS name, 'ICE' AS service,
+       CAST(t0+40 AS BIGINT) AS start_us, CAST(t0+50 AS BIGINT) AS end_us,
+       CAST(10 AS BIGINT) AS duration_us FROM ids
+UNION ALL
+SELECT eid*8+4, s, tid,
+       substr(md5(s || ':pt:' || CAST(eid*8+4 AS VARCHAR)), 1, 16), ice,
+       'ICE ready', 'ICE', t0+50, t0+50, 0 FROM ids
+UNION ALL
+SELECT eid*8+5, s, tid, sdp, root,
+       'JSEP Event - Offer', 'JSEP', t0+30, t0+60, 30 FROM ids
+UNION ALL
+SELECT eid*8+5, s, tid,
+       substr(md5(s || ':pt:' || CAST(eid*8+5 AS VARCHAR)), 1, 16), sdp,
+       'JSEP Event - Answer', 'JSEP', t0+60, t0+60, 0 FROM ids
+UNION ALL
+SELECT eid*8+6, s, tid, att, root,
+       'Handle attached', 'Handle', t0+20, t0+70, 50 FROM ids
+UNION ALL
+SELECT eid*8+6, s, tid,
+       substr(md5(s || ':pt:' || CAST(eid*8+6 AS VARCHAR)), 1, 16), att,
+       'Handle detached', 'Handle', t0+70, t0+70, 0 FROM ids
+UNION ALL
+SELECT eid*8+7, s, tid, root, NULL,
+       'Session', 'Session', t0+10, t0+80, 70 FROM ids
+UNION ALL
+SELECT eid*8+7, s, tid,
+       substr(md5(s || ':pt:' || CAST(eid*8+7 AS VARCHAR)), 1, 16), root,
+       'Session destroyed', 'Session', t0+80, t0+80, 0 FROM ids
+""")
+def q_janus_trace_spans(spark, sf_dir):
+    """Janus tracer span assembly (filter_app_janus_tracer.js:174-919 +
+    filter_app_janus_uptrace.js:140-420): synthesize a full
+    created->attached->offer->gathering->ready->answer->detached->
+    destroyed event sequence per events row, run the span-pairing kernel,
+    and let the oracle re-derive every span analytically — md5 trace ids,
+    md5-prefix span ids, open/close pairing with real durations."""
+    ev = _t(spark, sf_dir, "events").select(F.col("event_id").alias("eid"))
+    rows = ev.select(
+        "eid", F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("k"))
+
+    def pick(vals):
+        return F.element_at(
+            F.array(*[F.lit(v).cast("string") for v in vals]),
+            (F.col("k") + 1).cast("int"))
+
+    types = pick([1, 2, 8, 16, 16, 8, 2, 1]).cast("int")
+    subs = pick([0, 0, 0, 1, 1, 0, 0, 0]).cast("int")
+    names = pick(["created", "attached", None, None, None, None,
+                  "detached", "destroyed"])
+    jt = pick([None, None, "offer", None, None, None, None, None])
+    jo = pick([None, None, None, None, None, "local", None, None])
+    ice = pick([None, None, None, "gathering", "ready", None, None, None])
+    src = rows.select(
+        (F.col("eid") * 8 + F.col("k")).cast("long").alias("ord"),
+        (F.col("eid") * 1000 + (F.col("k") + 1) * 10).cast("long")
+        .alias("ts_us"),
+        F.concat(F.lit("js"), F.col("eid").cast("string"))
+        .alias("session_id"),
+        types.alias("type"), subs.alias("subtype"),
+        names.alias("event_name"), jt.alias("jsep_type"),
+        jo.alias("jsep_owner"), ice.alias("ice_state"))
+    out = C.janus_trace_spans(src, order="ord", ts="ts_us")
+    return out.select("ord", "session_id", "trace_id", "span_id",
+                      "parent_span_id", "name", "service", "start_us",
+                      "end_us", "duration_us")
+
+
 @_q("rtpproxy_correlate", """
 SELECT event_id,
        'create' AS method,
@@ -1767,7 +1844,7 @@ t AS (SELECT doc_id, MAX(cnt) AS top_count, SUM(cnt) AS total
 SELECT d.doc_id,
        COALESCE(t.top_count, 0) AS top_count,
        COALESCE(t.total, 0) AS total,
-       COALESCE(t.top_count, 0) * 5 < COALESCE(t.total, 0) AS keep
+       CAST(COALESCE(t.top_count, 0) * 5 < COALESCE(t.total, 0) AS BIGINT) AS keep
 FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
 """)
 def q_ngram_repetition(spark, sf_dir):
@@ -1779,7 +1856,7 @@ def q_ngram_repetition(spark, sf_dir):
     rep = D.ngram_repetition(docs, n=2)
     return rep.select(
         "doc_id", "top_count", "total",
-        (F.col("top_count") * 5 < F.col("total")).alias("keep"))
+        (F.col("top_count") * 5 < F.col("total")).cast("long").alias("keep"))
 
 
 @_q("statsd_time_windows", """
@@ -1970,10 +2047,10 @@ def q_rfc3339(spark, sf_dir):
 
 _GATE_WINDOW = [
     # §2 parse / predicate
-    "grep", "regex_extract", "json_fields", "split_explode", "mutate_gsub",
+    "grep", "regex_extract", "json_fields", "split_explode",
     "truncate", "mutate_hash", "syslog_pri", "http_status_classifier",
     "compute_field", "compute_date_field", "eval_expr",
-    "csv_parse", "bunyan_parse", "jail_serialize", "mustache_render",
+    "csv_parse", "mustache_render",
     "rename_omit_project",
     # §2 grok + pipeline shapes (reference's most-used filter)
     "pipeline_grok_parse", "pipeline_haproxy_parse",
@@ -1983,12 +2060,20 @@ _GATE_WINDOW = [
     # §2 enrich / correlate
     "geoip_range_join", "reverse_dns_lookup",
     "asof_lru_lookup", "multiline", "esl_call_summary",
-    "app_janus_correlate",
+    # janus pack: pairing-propagation + the r05 tracer span kernel
+    # (slot ceded by bunyan_parse — a JSON-parse+rename path fully
+    # ridden by json_fields + rename_omit_project, both in-window)
+    "app_janus_correlate", "janus_trace_spans",
     # §2.4+ plugin inputs / filters (rotated IN round 4 for driver rows)
     "sip_parse", "xml_extract",
+    # §2.4+ app packs (rotated IN round 5 per VERDICT r04 #4; slots ceded by
+    # mutate_gsub — rides gated_mutation's mutation path, jail_serialize —
+    # rides ndjson_serialize, statsd_metrics — rides per_sink_aggregates'
+    # agg shape; all three stay fully oracle-checked in the tail)
+    "kamailio_cdr_parse", "audiocodes_sip_parse", "rtpproxy_correlate",
     # §2.5 sinks (hep_frame = the SIP→correlate→HEPv3 capstone, sipcapture's
     # own wire protocol, driver-verified via hex serialization)
-    "statsd_metrics", "ndjson_serialize", "hep_frame",
+    "ndjson_serialize", "hep_frame",
     # LLM-pipeline components
     "dedup_exact", "minhash_lsh_dedup", "simhash_near_pairs",
     "winnow_containment_pairs",
@@ -2004,7 +2089,9 @@ _GATE_WINDOW = [
 _GATE_TAIL = [
     # round-3/4 extras (full oracles; window at capacity)
     "rfc3339_convert", "statsd_time_windows", "prometheus_parse",
-    "kamailio_cdr_parse", "audiocodes_sip_parse", "rtpproxy_correlate",
+    # rotated OUT round 5 (slots ceded to the r04 app packs and the janus
+    # tracer — see window):
+    "mutate_gsub", "jail_serialize", "statsd_metrics", "bunyan_parse",
     # rotated OUT round 4 (window slots ceded to round-3 components):
     # ngram_jaccard_pairs verifies minhash_lsh_dedup, ann_lsh_topk is the
     # third ANN variant (recall pytest-pinned), token_stats overlaps

@@ -167,11 +167,22 @@ def hep3_encapsulate(payload: str, *, ip_family: int = 1, protocol: int = 17,
     def chunk(ctype: int, body: bytes) -> bytes:
         return struct.pack(">HHH", 0, ctype, 6 + len(body)) + body
 
+    # hep-js picks the address chunk by family: 0x03/0x04 IPv4,
+    # 0x05/0x06 IPv6 (protocolFamily 10 in the node library, 2 on the wire)
+    def addr(ip: str, v4_type: int, v6_type: int) -> bytes:
+        if ":" in ip:
+            return chunk(v6_type,
+                         socket.inet_pton(socket.AF_INET6, ip))
+        return chunk(v4_type, socket.inet_aton(ip))
+
+    if ":" in src_ip or ":" in dst_ip:
+        ip_family = 2
+
     chunks = b"".join([
         chunk(0x01, struct.pack("B", ip_family)),
         chunk(0x02, struct.pack("B", protocol)),
-        chunk(0x03, socket.inet_aton(src_ip)),
-        chunk(0x04, socket.inet_aton(dst_ip)),
+        addr(src_ip, 0x03, 0x05),
+        addr(dst_ip, 0x04, 0x06),
         chunk(0x07, struct.pack(">H", int(src_port))),
         chunk(0x08, struct.pack(">H", int(dst_port))),
         chunk(0x09, struct.pack(">I", int(time_sec))),
@@ -190,27 +201,60 @@ def hep_serialize(df: DataFrame, *, payload_col: str = "payload",
                   ts_col: str | None = None,
                   proto_type: int = 100, capture_id: int = 2001,
                   capture_pass: str = "MyHep",
+                  proto_type_col: str | None = None,
+                  protocol_col: str | None = None,
+                  src_ip_col: str | None = None,
+                  src_port_col: str | None = None,
+                  dst_ip_col: str | None = None,
+                  dst_port_col: str | None = None,
+                  protocol: int = 17,
+                  src_ip: str = "127.0.0.1", dst_ip: str = "127.0.0.2",
+                  src_port: int = 0, dst_port: int = 0,
                   target: str = "hep") -> DataFrame:
     """HEP/EEP sink serializer (output_hep.js:36-90 semantics: wrap each
     event's payload + correlation id + capture credentials into a HEPv3
     packet; transport delivery is the landing-zone/transport boundary, as
-    with gelf).  One Arrow pass; timestamps come from ``ts_col`` (epoch
-    seconds derived plan-side) or 0 for deterministic output."""
+    with gelf).  The reference's preHep reads data.rcinfo PER EVENT
+    (payload type, protocol, src/dst addressing) — pass the ``*_col``
+    parameters to source those chunks from row columns (the app_* packs
+    emit exactly these names); the scalar kwargs are the fallbacks for
+    rows/pipelines without them.  One Arrow pass; timestamps come from
+    ``ts_col`` (epoch seconds derived plan-side) or 0 for deterministic
+    output."""
     sec = (F.col(ts_col).cast("timestamp").cast("double")
            if ts_col else F.lit(0.0))
     corr = (F.col(correlation_col).cast("string") if correlation_col
             else F.lit(""))
     payload = F.col(payload_col).cast("string")
 
+    def _rc(col: str | None, default, dtype: str):
+        c = (F.coalesce(F.col(col).cast(dtype), F.lit(default))
+             if col else F.lit(default))
+        return c.cast(dtype)
+
+    rcinfo = F.struct(
+        _rc(proto_type_col, proto_type, "int").alias("pt"),
+        _rc(protocol_col, protocol, "int").alias("proto"),
+        _rc(src_ip_col, src_ip, "string").alias("sip"),
+        _rc(src_port_col, src_port, "int").alias("sport"),
+        _rc(dst_ip_col, dst_ip, "string").alias("dip"),
+        _rc(dst_port_col, dst_port, "int").alias("dport"))
+
     @F.pandas_udf("binary")
-    def pack(p: pd.Series, c: pd.Series, s: pd.Series) -> pd.Series:
+    def pack(p: pd.Series, c: pd.Series, s: pd.Series,
+             r: pd.DataFrame) -> pd.Series:
         out = []
-        for pay, cid, t in zip(p, c, s):
+        for pay, cid, t, pt, proto_, sip, sport, dip, dport in zip(
+                p, c, s, r["pt"], r["proto"], r["sip"], r["sport"],
+                r["dip"], r["dport"]):
             t = float(t or 0.0)
             out.append(hep3_encapsulate(
-                pay, correlation_id=cid or "", proto_type=proto_type,
+                pay, correlation_id=cid or "", proto_type=int(pt),
+                protocol=int(proto_), src_ip=sip or "127.0.0.1",
+                dst_ip=dip or "127.0.0.2", src_port=int(sport),
+                dst_port=int(dport),
                 capture_id=capture_id, capture_pass=capture_pass,
                 time_sec=int(t), time_usec=int(round((t % 1) * 1e6))))
         return pd.Series(out)
 
-    return df.withColumn(target, pack(payload, corr, sec))
+    return df.withColumn(target, pack(payload, corr, sec, rcinfo))

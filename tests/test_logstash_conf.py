@@ -513,6 +513,13 @@ class TestAudiocodesRecipe:
         # capture-id chunk carries the recipe's hep_id 2222
         import struct
         assert struct.pack(">HHI", 0x0C, 10, 2222) in f[4:]
+        # per-event rcinfo (output_hep.js preHep): the SIP row frames as
+        # proto_type 1 with the line's remote addressing — NOT the LOG
+        # (type 100) localhost defaults
+        import socket
+        assert struct.pack(">HHH", 0, 0x0B, 7) + bytes([1]) in f
+        assert (struct.pack(">HHH", 0, 0x03, 10)
+                + socket.inet_aton("10.0.0.5")) in f
 
     def test_version_variants_parse(self, spark):
         """7.40A.500 / 7.20A.256.511 regex variants extract the same

@@ -103,6 +103,33 @@ def test_vocab_topk_is_take_ordered(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_audiocodes_default_is_sid_partitioned_no_global_window(spark):
+    """The DEFAULT audiocodes call must never plan the single-partition
+    global sort (partition_by_sid=True ships as the default; the
+    reference-exact global stream is an explicit opt-in)."""
+    from pastash_spark.operators.correlate import app_audiocodes_correlate
+    df = spark.createDataFrame([(1, "x")], "line_no long, message string")
+    plan = _plan(app_audiocodes_correlate(df, order="line_no"))
+    assert "Exchange SinglePartition" not in plan
+    # exactly ONE ArrowEvalPython family feeds the parse (the matcher
+    # UDF batch) — the heavy regexes never run as native rlike chains
+    assert "rlike" not in plan.lower() or "Incoming SIP" not in plan
+
+
+def test_janus_trace_spans_single_window_shuffle(spark):
+    """janus_trace_spans = ONE per-trace-key window (all family forward-
+    fills share it) + explode; no joins, no extra exchanges."""
+    from pastash_spark.operators.correlate import janus_trace_spans
+    df = spark.createDataFrame(
+        [(1, 10, "s1", 1, 0, "created")],
+        "ord long, ts_us long, session_id string, type int, subtype int, "
+        "event_name string")
+    plan = _plan(janus_trace_spans(df, order="ord", ts="ts_us"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_salted_aggregate_is_two_stage(spark):
     """Partial agg on (key, salt) then final on key: exactly two hash
     exchanges, never one reducer owning the hot key."""

@@ -581,6 +581,148 @@ class TestAppRtpProxy:
                         if r.method == "create" and r.token == "4442_5"]
         assert len(creates_4442) == 1 and creates_4442[0].port == "35000"
 
+    def test_doreply_consumes_alias(self, spark):
+        # the reference nulls ipcache['port_'+port] after a doreply emits
+        # (:100) — a SECOND doreply on the same port without a fresh alias
+        # publication must not resolve through the stale alias, even if a
+        # new create for the token arrives in between
+        from pastash_spark.operators import correlate as C
+        lines = self._lines() + [
+            'received command "7000_1 Lc0 call-3@10.0.0.9 1 2"',
+            'rtpc_doreply: sending reply "36000 10.0.0.4\\n"',
+        ]
+        df = spark.createDataFrame(
+            [(i + 1, l) for i, l in enumerate(lines)],
+            "line_no long, message string")
+        out = C.app_rtpproxy_correlate(df).collect()
+        c_7000 = [r for r in out
+                  if r.method == "create" and r.token == "7000_1"]
+        assert len(c_7000) == 1 and c_7000[0].ip == "10.0.0.3"
+
+
+class TestJanusTraceSpans:
+    """filter_app_janus_tracer.js:174-919 / filter_app_janus_uptrace.js:
+    140-420 — the span-assembly kernel: open/close pairing per session,
+    real durations, deterministic trace/span ids, point-span parents."""
+
+    def _spans(self, spark, rows):
+        from pastash_spark.operators import correlate as C
+        df = spark.createDataFrame(
+            rows, "ord long, ts_us long, session_id string, type int, "
+                  "subtype int, event_name string, jsep_type string, "
+                  "jsep_owner string, ice_state string, dtls_state string, "
+                  "data_event string, emitter string")
+        return C.janus_trace_spans(df, order="ord", ts="ts_us").collect()
+
+    @staticmethod
+    def _ev(ord_, ts, sess, type_, sub=0, name=None, jt=None, jo=None,
+            ice=None, dtls=None, dev=None, em=None):
+        return (ord_, ts, sess, type_, sub, name, jt, jo, ice, dtls,
+                dev, em)
+
+    def test_session_pairing_ids_and_duration(self, spark):
+        import hashlib
+        rows = [
+            self._ev(1, 100, "s1", 1, name="created"),
+            self._ev(2, 150, "s1", 4),
+            self._ev(3, 900, "s1", 1, name="destroyed"),
+        ]
+        got = {r.name: r for r in self._spans(spark, rows)}
+        tid = hashlib.md5(b"s1").hexdigest()
+        root = tid[:16]
+        sess = got["Session"]
+        # uptrace :153-173: created opens, destroyed closes -> duration
+        assert sess.span_id == root and sess.parent_span_id is None
+        assert (sess.start_us, sess.end_us, sess.duration_us) == (100, 900,
+                                                                  800)
+        assert sess.trace_id == tid
+        dest = got["Session destroyed"]
+        assert dest.parent_span_id == root and dest.duration_us == 0
+        ext = got["External Event"]
+        assert ext.service == "External" and ext.parent_span_id == root
+
+    def test_handle_jsep_ice_families(self, spark):
+        rows = [
+            self._ev(1, 10, "s2", 1, name="created"),
+            self._ev(2, 20, "s2", 2, name="attached"),
+            self._ev(3, 30, "s2", 8, jt="offer"),
+            self._ev(4, 40, "s2", 16, sub=1, ice="gathering"),
+            self._ev(5, 45, "s2", 16, sub=1, ice="connecting"),
+            self._ev(6, 50, "s2", 16, sub=2),          # local candidate
+            self._ev(7, 55, "s2", 16, sub=5, dtls="connected"),
+            self._ev(8, 60, "s2", 16, sub=1, ice="ready"),
+            self._ev(9, 70, "s2", 8, jo="local"),
+            self._ev(10, 80, "s2", 2, name="detached"),
+        ]
+        got = {r.name: r for r in self._spans(spark, rows)}
+        ice = got["ICE gathering"]
+        assert (ice.start_us, ice.end_us, ice.duration_us) == (40, 60, 20)
+        # all ICE children parent to the open gathering span (:447-566)
+        for child in ("ICE connecting", "Local Candidate",
+                      "DTLS connected", "ICE ready"):
+            assert got[child].parent_span_id == ice.span_id, child
+        sdp = got["JSEP Event - Offer"]
+        assert (sdp.start_us, sdp.end_us) == (30, 70)
+        assert got["JSEP Event - Answer"].parent_span_id == sdp.span_id
+        att = got["Handle attached"]
+        assert (att.start_us, att.end_us, att.duration_us) == (20, 80, 60)
+        assert got["Handle detached"].parent_span_id == att.span_id
+        # non-root spans all parent to the Session root unless family-held
+        import hashlib
+        root = hashlib.md5(b"s2").hexdigest()[:16]
+        assert ice.parent_span_id == root
+        assert sdp.parent_span_id == root
+
+    def test_unclosed_open_never_exports_and_stale_pairing(self, spark):
+        rows = [
+            self._ev(1, 10, "s3", 2, name="attached"),
+            self._ev(2, 20, "s3", 2, name="detached"),
+            self._ev(3, 30, "s3", 2, name="detached"),   # stale re-pair
+            self._ev(4, 40, "s3", 8, jt="offer"),        # never answered
+        ]
+        spans = self._spans(spark, rows)
+        names = [r.name for r in spans]
+        # the lru keeps att_* after a close (uptrace never deletes it):
+        # a second detach pairs with the SAME stale attach
+        atts = [r for r in spans if r.name == "Handle attached"]
+        assert len(atts) == 2
+        assert {(a.start_us, a.end_us) for a in atts} == {(10, 20), (10, 30)}
+        # an open that never closes is never exported
+        assert "JSEP Event - Offer" not in names
+
+    def test_sessionless_types_key_on_emitter(self, spark):
+        rows = [
+            self._ev(1, 10, None, 128, em="janus-a"),
+            self._ev(2, 20, None, 256, sub=1, em="janus-a"),
+            self._ev(3, 30, None, 256, sub=2, em="janus-a"),
+        ]
+        got = {r.name: r for r in self._spans(spark, rows)}
+        import hashlib
+        tid = hashlib.md5(b"em:janus-a").hexdigest()
+        assert got["Transport connected"].trace_id == tid
+        assert got["Transport connected"].service == "Transport Originated"
+        assert got["Startup"].service == "Core"
+        assert got["Shutdown"].trace_id == tid
+
+    def test_type_filter(self, spark):
+        rows = [
+            self._ev(1, 10, "s4", 4),
+            self._ev(2, 20, "s4", 64, dev="joined"),
+        ]
+        from pastash_spark.operators import correlate as C
+        df = spark.createDataFrame(
+            rows, "ord long, ts_us long, session_id string, type int, "
+                  "subtype int, event_name string, jsep_type string, "
+                  "jsep_owner string, ice_state string, dtls_state string, "
+                  "data_event string, emitter string")
+        out = C.janus_trace_spans(df, order="ord", ts="ts_us",
+                                  types=[4]).collect()
+        assert [r.name for r in out] == ["External Event"]
+        out2 = self._spans(spark, rows)
+        assert {r.name for r in out2} == {"External Event", "User joined"}
+        joined = [r for r in out2 if r.name == "User joined"][0]
+        assert joined.service == "Plugin"
+
 
 class TestAppAudiocodes:
     """plugins/filters/app_audiocodes/filter_app_audiocodes.js (default

@@ -211,6 +211,47 @@ def test_hep_serialize_hepv3_framing(spark):
     assert len(c[0x03]) == 4 and len(c[0x07]) == 2
 
 
+def test_hep_serialize_per_row_rcinfo(spark):
+    """output_hep.js preHep reads data.rcinfo PER EVENT — rows carrying
+    proto_type/protocol/src/dst columns must frame with THEIR addressing,
+    nulls falling back to the scalar defaults."""
+    import struct
+    from pastash_spark.sources.sinks import hep_serialize
+    df = spark.createDataFrame(
+        [("INVITE sip:x SIP/2.0", "c-1", 1, 6,
+          "10.0.0.5", 5060, "10.0.0.9", 5061),
+         ("log line", "c-2", None, None, None, None, None, None)],
+        "payload string, correlation_id string, proto_type int, "
+        "protocol int, src_ip string, src_port int, dst_ip string, "
+        "dst_port int")
+    rows = hep_serialize(
+        df, proto_type_col="proto_type", protocol_col="protocol",
+        src_ip_col="src_ip", src_port_col="src_port",
+        dst_ip_col="dst_ip", dst_port_col="dst_port").collect()
+    c1 = _hep3_decode(bytes([r for r in rows
+                             if r.correlation_id == "c-1"][0].hep))
+    assert c1[0x0B] == bytes([1]) and c1[0x02] == bytes([6])
+    import socket
+    assert c1[0x03] == socket.inet_aton("10.0.0.5")
+    assert struct.unpack(">H", c1[0x07])[0] == 5060
+    assert c1[0x04] == socket.inet_aton("10.0.0.9")
+    assert struct.unpack(">H", c1[0x08])[0] == 5061
+    c2 = _hep3_decode(bytes([r for r in rows
+                             if r.correlation_id == "c-2"][0].hep))
+    # null rcinfo -> the LOG-type localhost defaults, unchanged
+    assert c2[0x0B] == bytes([100]) and c2[0x02] == bytes([17])
+    assert c2[0x03] == socket.inet_aton("127.0.0.1")
+
+
+def test_hep_serialize_ipv6_family(spark):
+    from pastash_spark.sources.sinks import hep3_encapsulate
+    b = hep3_encapsulate("x", src_ip="2001:db8::1", dst_ip="10.0.0.1")
+    c = _hep3_decode(b)
+    assert c[0x01] == bytes([2])          # family flips to IPv6
+    assert len(c[0x05]) == 16 and 0x03 not in c
+    assert len(c[0x04]) == 4              # v4 side keeps the v4 chunk
+
+
 def test_msgpack_reader_gated(spark):
     import pytest as _pt
     from pastash_spark.sources.readers import read_msgpack
