@@ -67,6 +67,9 @@ HEADLINE = [
     "ngram_repetition_filter", "multimodal_decode", "hep_frame",
     # r04 app-pack oracle queries (tail; appended for perf visibility)
     "kamailio_cdr_parse", "audiocodes_sip_parse", "rtpproxy_correlate",
+    # r05 additions (appended — the r04 38 keep their order so the
+    # shared-38 delta stays directly comparable)
+    "janus_trace_spans", "hsp_scored_correlation",
 ]
 
 

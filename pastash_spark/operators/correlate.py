@@ -346,6 +346,518 @@ def app_sonus_reassemble(df: DataFrame, *, source: str = "path",
             .drop("_grp"))
 
 
+# --- app_janus_sip ------------------------------------------------------------
+
+
+def app_janus_sip_correlate(df: DataFrame, *, order: str = "event_id",
+                            ts: str = "ts_us") -> DataFrame:
+    """Janus SIP-plugin event -> SIP/HEP (plugins/filters/app_janus_sip/
+    filter_app_janus_sip.js:41-155).  Two cache dims re-expressed as
+    latest-wins joins:
+
+      * type 128 ``connected`` publishes websocket id -> client ip
+        (:52-56);
+      * type 1 with event.transport.id resolves the websocket ip onto the
+        session (:57-66; like the reference, a session whose websocket
+        never connected carries a NULL ip);
+      * rows with event.data.sip parse Via host/port/rport + Call-ID from
+        the raw message (parsip's fields the addressing actually uses);
+        a session with NO cache entry infers {ip, port} from its FIRST
+        SIP event's Via and keeps it (:97-104 cache.set) — a per-session
+        first() window;
+      * ``sip-out``: src = session ip:port (5050 fallbacks), dst = Via
+        host:port; ``sip-in``: src = Via host:port, dst = session ip with
+        the Via ``rport`` (:115-147).  time_sec = ts/1e6; time_usec
+        mirrors the reference's (ts/1000)%1000 millisecond slice exactly
+        (a documented reference quirk — NOT true microseconds).
+
+    Expects columns: type int, ``session_id``, ``ws_id`` (event.id /
+    event.transport.id), ``ws_event`` (event.data.event), ``ws_ip``
+    (event.data.ip), ``sip`` (raw event.data.sip), `order`, `ts` (Janus
+    micros).  Output: one HEP row per SIP event."""
+    t = F.col("type").cast("int")
+
+    ws_dim = (df.filter((t == 128) & (F.col("ws_event") == "connected")
+                        & F.col("ws_id").isNotNull())
+              .select(F.col("ws_id").alias("_w_id"),
+                      F.col("ws_ip").alias("_w_ip"),
+                      F.col(order).alias("_w_o")))
+    w_ws = Window.partitionBy("_w_id").orderBy(F.col("_w_o").desc())
+    ws_dim = (ws_dim.withColumn("_rn", F.row_number().over(w_ws))
+              .filter(F.col("_rn") == 1).select("_w_id", "_w_ip"))
+
+    sess_pub = (df.filter((t == 1) & F.col("ws_id").isNotNull()
+                          & F.col("session_id").isNotNull())
+                .select(F.col("session_id").alias("_s_id"),
+                        F.col("ws_id").alias("_s_ws"),
+                        F.col(order).alias("_s_o")))
+    w_sess = Window.partitionBy("_s_id").orderBy(F.col("_s_o").desc())
+    sess_dim = (sess_pub.withColumn("_rn", F.row_number().over(w_sess))
+                .filter(F.col("_rn") == 1)
+                .join(ws_dim, F.col("_s_ws") == F.col("_w_id"), "left")
+                .select("_s_id", F.col("_w_ip").alias("_sess_ip")))
+
+    sip_raw = F.col("sip").cast("string")
+    via_re = r"(?im)^(?:Via|v)\s*:\s*SIP/2\.0/\w+\s+([^;:\s]+)(?::([0-9]+))?"
+    via_host = F.regexp_extract(sip_raw, via_re, 1)
+    via_port = F.regexp_extract(sip_raw, via_re, 2).try_cast("int")
+    rport = F.regexp_extract(sip_raw, r"(?i);rport=([0-9]+)", 1) \
+        .try_cast("int")
+    callid = F.regexp_extract(sip_raw,
+                              r"(?im)^(?:Call-ID|i)\s*:\s*(\S+)", 1)
+    sips = (df.filter(sip_raw.isNotNull() & (sip_raw != "")
+                      & F.col("session_id").isNotNull())
+            .select(F.col(order), F.col(ts).cast("long").alias("_ts"),
+                    F.col("session_id"), sip_raw.alias("payload"),
+                    F.col("ws_event").alias("_ev"),
+                    via_host.alias("_vh"), via_port.alias("_vp"),
+                    rport.alias("_vr"), callid.alias("_cid")))
+    # cache-miss inference: the session adopts its FIRST SIP event's Via
+    w_first = (Window.partitionBy("session_id").orderBy(F.col(order))
+               .rowsBetween(Window.unboundedPreceding, 0))
+    sips = (sips.withColumn("_inf_ip", F.first("_vh", True).over(w_first))
+            .withColumn("_inf_port", F.first("_vp", True).over(w_first))
+            .join(sess_dim, F.col("session_id") == F.col("_s_id"), "left"))
+    has_dim = F.col("_s_id").isNotNull()
+    sess_ip = F.when(has_dim, F.col("_sess_ip")) \
+        .otherwise(F.col("_inf_ip"))
+    sess_port = F.when(has_dim, F.lit(None).cast("int")) \
+        .otherwise(F.col("_inf_port"))
+    is_out = F.col("_ev") == "sip-out"
+    is_in = F.col("_ev") == "sip-in"
+    return (sips.filter(is_out | is_in)
+            .select(
+                F.col(order), F.col("session_id"),
+                F.lit(1).alias("proto_type"),
+                F.col("payload"),
+                F.coalesce(F.col("_cid"), F.lit(""))
+                .alias("correlation_id"),
+                F.when(is_out,
+                       F.coalesce(sess_ip, F.lit("127.0.0.1")))
+                .otherwise(F.coalesce(F.col("_vh"), F.lit("127.0.0.1")))
+                .alias("src_ip"),
+                F.when(is_out, F.coalesce(sess_port, F.lit(5050)))
+                .otherwise(F.coalesce(F.col("_vp"), F.lit(5050)))
+                .cast("int").alias("src_port"),
+                F.when(is_out,
+                       F.coalesce(F.col("_vh"), F.lit("127.0.0.1")))
+                .otherwise(sess_ip).alias("dst_ip"),
+                F.when(is_out, F.coalesce(F.col("_vp"), F.lit(5050)))
+                .otherwise(F.coalesce(F.col("_vr"), F.lit(5050)))
+                .cast("int").alias("dst_port"),
+                F.lit(17).alias("protocol"),
+                F.floor(F.col("_ts") / 1000000).cast("long")
+                .alias("ts_sec"),
+                F.floor((F.col("_ts") / 1000) % 1000).cast("long")
+                .alias("ts_usec")))
+
+
+# --- app_genesys --------------------------------------------------------------
+
+
+def app_genesys_correlate(df: DataFrame, *, field: str = "message",
+                          order: str = "line_no",
+                          correlation_hdr: str | None = None) -> DataFrame:
+    """Genesys SIP Server log -> SIP/HEP (plugins/filters/app_genesys/
+    filter_app_genesys.js:33-130).  The reference's LRU pairs
+    ``CID:CUUID><callid>:<uuid>`` publications both ways; SIPTR
+    Received / ``Sending  [`` blocks emit SIP payloads whose correlation
+    id prefers the session UUID, and ``event: message`` log lines
+    resolve their CallUUID back to proto_type 100 rows:
+
+      * Received head ``Received [t,u] N bytes from IP:PORT `` -> src =
+        remote, dst = local; Sending mirrors (:88-95 rcv ternaries);
+      * local ip = the Call-ID's ``@host`` part (127.0.0.1 fallback),
+        local port = the first ``<host>:<port>>`` match in the payload
+        (5060 fallback, :55-58);
+      * payload = the block minus its first (head) line, first LF -> CRLF
+        (the reference replaces only the first, :52);
+      * correlation id = LRU uuid for the Call-ID when published, else
+        the Call-ID (:119-122; the cached correlation overrides even the
+        correlation_hdr extract).
+
+    Batch re-expression: the CID:CUUID LRU becomes a latest-wins pairing
+    dim joined on Call-ID (AQE picks broadcast when it fits — same
+    rationale as app_janus_correlate's dims).  Output: (`order`, payload,
+    correlation_id, proto_type, src_ip, src_port, dst_ip, dst_port,
+    protocol)."""
+    msg = F.col(field).cast("string")
+    ord_c = F.col(order)
+
+    # pairing dim: CID:CUUID><callid>:<uuid> (:42-47), latest wins
+    cid_pub = F.split(F.get(F.split(msg, ">"), 1), ":")
+    pubs = (df.filter(msg.contains("CID:CUUID>"))
+            .select(F.get(cid_pub, 0).alias("_cid"),
+                    F.get(cid_pub, 1).alias("_uuid"),
+                    ord_c.alias("_po"))
+            .filter(F.col("_cid").isNotNull()
+                    & F.col("_uuid").isNotNull()))
+    w_pub = Window.partitionBy("_cid").orderBy(F.col("_po").desc())
+    pubs = (pubs.withColumn("_rn", F.row_number().over(w_pub))
+            .filter(F.col("_rn") == 1).select("_cid", "_uuid"))
+
+    rcv_re = r"Received \[(.*),(.*)\] (.*) bytes from (.*):(.*) "
+    snd_re = r"Sending  \[(.*),(.*)\] (.*) bytes to (.*):(.*) "
+    is_rcv = msg.contains("SIPTR: Received")
+    is_snd = ~is_rcv & msg.contains(": Sending  [")
+    head = F.get(F.split(msg, "\n"), 0)
+    body = F.regexp_replace(msg, r"^[^\n]*\n", "")
+    # reference :52: only the FIRST \n of the body becomes \r\n (the JS
+    # string-arg .replace — which doubles the \r on an already-CRLF
+    # body); [^\n] not ``.`` because Java's dot excludes \r too
+    payload = F.regexp_replace(body, r"^([^\n]*)\n", "$1\r\n")
+    callid = F.regexp_extract(payload, r"Call-ID: (.*)\r", 1)
+    callid = F.when(callid != "", callid).otherwise("false@127.0.0.1")
+    local_ip = F.coalesce(F.get(F.split(callid, "@"), 1),
+                          F.lit("127.0.0.1"))
+    # first '<localIp>:<port>>' occurrence (the reference builds a
+    # per-row RegExp from localIp, :56 — Spark patterns must be literal,
+    # so match every host:port> pair and pick the one whose host segment
+    # ends with the local ip; URI userinfo like 'a@' glues onto the host
+    # charset, hence endswith rather than equality)
+    hp_re = F.lit(r"([^\s<:>]+):([0-9]+)>")
+    hp = F.arrays_zip(
+        F.regexp_extract_all(payload, hp_re, F.lit(1)).alias("h"),
+        F.regexp_extract_all(payload, hp_re, F.lit(2)).alias("p"))
+    mine = F.filter(hp, lambda x: x["h"].endswith(local_ip))
+    local_port = F.coalesce(F.get(mine, 0)["p"], F.lit("5060"))
+
+    def rc(rx, i):
+        return F.regexp_extract(head, rx, i)
+
+    sip = (df.filter(is_rcv | is_snd)
+           .select(ord_c, F.lit(1).alias("proto_type"),
+                   payload.alias("payload"), callid.alias("_callid"),
+                   is_rcv.alias("_rcv"),
+                   F.when(is_rcv, rc(rcv_re, 4)).otherwise(rc(snd_re, 4))
+                   .alias("_rip"),
+                   F.when(is_rcv, rc(rcv_re, 5)).otherwise(rc(snd_re, 5))
+                   .alias("_rport"),
+                   F.when(is_rcv, rc(rcv_re, 2)).otherwise(rc(snd_re, 2))
+                   .alias("_proto"),
+                   local_ip.alias("_lip"), local_port.alias("_lport")))
+
+    logs = (df.filter(msg.contains("event: message"))
+            .select(ord_c, F.lit(100).alias("proto_type"),
+                    msg.alias("payload"),
+                    F.regexp_extract(msg, r"CallUUID\t'(.*)'\n", 1)
+                    .alias("_uuid_log"))
+            .filter(F.col("_uuid_log") != ""))
+
+    # join strategy left to AQE like app_janus_correlate's dims: the
+    # pairing dim is O(#calls), broadcastable when small but unbounded
+    sip = sip.join(pubs, sip["_callid"] == pubs["_cid"], "left")
+    corr = F.coalesce(F.col("_uuid"), F.col("_callid"))
+    if correlation_hdr:
+        xcid = F.trim(F.regexp_extract(
+            F.col("payload"), correlation_hdr + r":\s?(.*)\r", 1))
+        # LRU correlation overrides the header extract (:119-122)
+        corr = F.coalesce(F.col("_uuid"),
+                          F.when(xcid != "", xcid), F.col("_callid"))
+    sip_out = sip.select(
+        ord_c, "proto_type", "payload", corr.alias("correlation_id"),
+        F.when(F.col("_rcv"), F.col("_rip")).otherwise(F.col("_lip"))
+        .alias("src_ip"),
+        F.when(F.col("_rcv"), F.col("_rport")).otherwise(F.col("_lport"))
+        .try_cast("int").alias("src_port"),
+        F.when(F.col("_rcv"), F.col("_lip")).otherwise(F.col("_rip"))
+        .alias("dst_ip"),
+        F.when(F.col("_rcv"), F.col("_lport")).otherwise(F.col("_rport"))
+        .try_cast("int").alias("dst_port"),
+        F.when(F.col("_proto") == "UDP", 17).otherwise(6)
+        .alias("protocol"))
+    # log lines: resolve uuid (their correlation IS the uuid; :76-86
+    # emits rc [0,'UDP',...] localhost addressing)
+    log_out = logs.select(
+        ord_c, "proto_type", "payload",
+        F.col("_uuid_log").alias("correlation_id"),
+        F.lit("127.0.0.1").alias("src_ip"),
+        F.lit(0).cast("int").alias("src_port"),
+        F.lit("127.0.0.1").alias("dst_ip"),
+        F.lit(0).cast("int").alias("dst_port"),
+        F.lit(17).alias("protocol"))
+    return sip_out.unionByName(log_out)
+
+
+# --- app_avaya ----------------------------------------------------------------
+
+
+def app_avaya_correlate(df: DataFrame, *, field: str = "message",
+                        order: str = "line_no",
+                        key: Sequence[str] = (),
+                        correlation_hdr: str | None = None) -> DataFrame:
+    """Avaya SBC trace log -> SIP/HEP (plugins/filters/app_avaya/
+    filter_app_avaya.js:34-96).  The reference buffers one ``SIPMSGT``
+    block (``last``/``hold``), appends ``SIPMSGT+`` continuation lines to
+    it, and RELEASES the buffer when the next ``SIPMSGT`` block arrives —
+    the releasing block itself becomes the next buffer only when no
+    emission happened (so block N emits at block N+1's arrival and the
+    trigger is consumed: in a steady stream the ODD blocks emit).  Per
+    released buffer: ``#012`` field split, ``split[0]`` timestamp
+    (DD/MM/YYYY HH:mm:ss.SSS), ``split[2]`` local/remote datagram
+    ``L<ip>:<port>/R<ip>:<port>/<proto>/``, optional ``split[3]`` egress
+    remote overriding the destination, payload = the LAST field, optional
+    correlation header extract.
+
+    Batch re-expression: blocks rank per ``key`` partition; odd-ranked
+    blocks (the held ones) emit when a later block exists, with their
+    continuation lines' sanitized tails appended — a groupBy on the
+    attached block id, no driver state."""
+    msg = F.col("_m")
+    is_cont = msg.contains("SIPMSGT+")
+    is_block = ~is_cont & msg.contains("SIPMSGT #012")
+    full = F.get(F.split(msg, r"SIPMSGT #012--------------------#012"), 1)
+    # continuation sanitize + tail (reference :37-40)
+    cont_tail = F.get(F.split(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(msg, "#015#012", "\r\n"),
+                r">#012<", ">\n<"),
+            r"#012--------------------", ""),
+        r"SIPMSGT\+ "), 1)
+
+    w = (Window.partitionBy(*key) if key else Window.partitionBy()) \
+        .orderBy(F.col(order))
+    base = (df.select(*key, F.col(order),
+                      F.regexp_replace(F.col(field), r"\r\n", "#012")
+                      .alias("_m"))
+            .withColumn("_is_block", is_block)
+            .withColumn("_is_cont", is_cont)
+            .withColumn("_blk_ord",
+                        F.last(F.when(is_block & full.isNotNull(),
+                                      F.col(order)),
+                               ignorenulls=True).over(w))
+            .filter((F.col("_is_block") & full.isNotNull())
+                    | F.col("_is_cont")))
+    pieces = F.when(F.col("_is_block"), full).otherwise(cont_tail)
+    grouped = (base
+               .withColumn("_piece", pieces)
+               .groupBy(*key, "_blk_ord")
+               .agg(F.concat_ws(
+                   "", F.array_sort(F.collect_list(
+                       F.struct(F.col(order).alias("o"),
+                                F.col("_piece").alias("p")))).getField("p"))
+                   .alias("_buf")))
+    w_blk = (Window.partitionBy(*key) if key else Window.partitionBy()) \
+        .orderBy(F.col("_blk_ord"))
+    ranked = (grouped
+              .withColumn("_rk", F.row_number().over(w_blk))
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy(*key) if key
+                  else Window.partitionBy())))
+    emit = ranked.filter((F.col("_rk") % 2 == 1)
+                         & (F.col("_rk") < F.col("_n")))
+
+    buf = F.regexp_replace(
+        F.regexp_replace(F.col("_buf"), "#015#012", "\r\n"),
+        r"#011|-->|<--|#012--------------------", "")
+    parts = F.split(buf, "#012")
+    dt = F.try_to_timestamp(F.get(parts, 0),
+                            F.lit("dd/MM/yyyy HH:mm:ss.SSS"))
+    sec = dt.cast("double")
+    dg_re = r"L(.*):(.*[0-9])/R(.*):(.*[0-9])/(.*)/"
+    local = F.get(parts, 2)
+    egress = F.get(parts, 3)
+
+    def g(src, i):
+        v = F.regexp_extract(src, dg_re, i)
+        return F.when(v != "", v)
+
+    sip = F.element_at(parts, -1)
+    corr = (F.trim(F.regexp_extract(
+        sip, correlation_hdr + r":\s?(.*)\r", 1))
+        if correlation_hdr else F.lit(""))
+    return emit.select(
+        F.col("_blk_ord").alias(order),
+        sip.alias("payload"),
+        corr.alias("correlation_id"),
+        g(local, 3).alias("src_ip"),
+        g(local, 4).try_cast("int").alias("src_port"),
+        F.coalesce(g(egress, 3), g(local, 1)).alias("dst_ip"),
+        F.coalesce(g(egress, 4), g(local, 2)).try_cast("int")
+        .alias("dst_port"),
+        F.when(g(local, 5) == "UDP", 17).otherwise(6).alias("protocol"),
+        F.lit(1).alias("proto_type"),
+        F.floor(sec).cast("long").alias("ts_sec"),
+        F.round((sec - F.floor(sec)) * 1000000).cast("long")
+        .alias("ts_usec"))
+
+
+# --- app_ingate / app_cisco ---------------------------------------------------
+
+
+def app_ingate_correlate(df: DataFrame, *, field: str = "message",
+                         order: str = "line_no", ts: str | None = None,
+                         key: Sequence[str] = (),
+                         correlation_hdr: str =
+                         r"(?:[Cc]all-[Ii][Dd]:|i:)") -> DataFrame:
+    """Ingate SIParator firewall log -> SIP/HEP assembly
+    (plugins/filters/app_ingate/filter_app_ingate.js:52-230).  The
+    reference's module-global ``ipcache`` carries the last egress/ingress
+    addressing onto the following indented SIP block:
+
+      * ``send s[fl] ... to A:p via B:q PROTO connection N:`` (egress,
+        :67) publishes src=B:q (via), dst=A:p, proto;
+      * ``recv from A:p via B:q PROTO connection N:`` (ingress, :92)
+        publishes src=A:p, dst=B:q, proto;
+      * an (already multiline-reassembled) block containing 8+ spaces and
+        ``SIP/2.0`` re-assembles the SIP payload: per inner line, the
+        ``:\\s{14}(.*)$`` capture joins with CRLF, a bare trailing ``:``
+        after the 3rd line contributes the blank SDP separator line, and
+        ``Debug: sipfw:|Info: sipfw:`` past line 3 bails out (:135-160).
+        The block emits payload + the forward-filled rcinfo (proto_type 1,
+        protocol UDP->17 else 6) and the Call-ID/i: correlation id.
+
+    Batch re-expression: address publications forward-fill over a
+    ``key``-partitioned window (one device per partition; the reference
+    is one-agent-global) — same shape as app_sonus.  Output: one row per
+    SIP block — (`order`, payload, correlation_id, src_ip, src_port,
+    dst_ip, dst_port, protocol[, ts])."""
+    msg = F.col(field).cast("string")
+    send_re = (r"send\ss[fl](?:\s\(0x.*\))?\sto\s(.*):(.*)\svia\s"
+               r"(.*):([^\s]+)\s(\w+)\sconnection\s\d+:")
+    recv_re = (r"(?i)recv\sfrom\s(.*):(.+)\svia\s(.*):(.+)\s(\w+)\s"
+               r"connection\s\d+:")
+    is_send = msg.contains("send s")
+    is_recv = ~is_send & msg.contains("recv")
+
+    def g(rx, i):
+        v = F.regexp_extract(msg, rx, i)
+        return F.when(v != "", v)
+
+    pub = F.when(is_send, F.struct(
+        g(send_re, 3).alias("sip_"), g(send_re, 4).alias("sport"),
+        g(send_re, 1).alias("dip"), g(send_re, 2).alias("dport"),
+        g(send_re, 5).alias("proto"))) \
+        .when(is_recv, F.struct(
+            g(recv_re, 1).alias("sip_"), g(recv_re, 2).alias("sport"),
+            g(recv_re, 3).alias("dip"), g(recv_re, 4).alias("dport"),
+            g(recv_re, 5).alias("proto")))
+    base = df.withColumn("_pub", pub)
+    w = (Window.partitionBy(*key) if key else Window.partitionBy()) \
+        .orderBy(F.col(order))
+    filled = F.last("_pub", ignorenulls=True).over(w)
+    cols = [F.col(order)]
+    if ts:
+        cols.append(F.col(ts))
+    base = base.select(*cols, msg.alias("_m"), filled.alias("_rc"))
+
+    @F.pandas_udf("string")
+    def assemble(s: pd.Series) -> pd.Series:
+        line_re = re.compile(r"(?::\s{14}(.*)|(:))$")
+        bail_re = re.compile(r"Debug: sipfw:|Info: sipfw:")
+
+        def one(v):
+            if v is None:
+                return None
+            out = []
+            for i, ln in enumerate(v.split("\n")):
+                if i > 2 and bail_re.search(ln):
+                    break
+                m = line_re.search(ln)
+                if m and m.group(1) is not None:
+                    out.append(m.group(1) + "\r\n")
+                elif i > 2 and m and m.group(2) is not None:
+                    out.append("\r\n")
+            return "".join(out)
+        return s.map(one)
+
+    sip_block = (base.filter(F.col("_m").contains("        ")
+                             & (F.col("_m").contains(" SIP/2.0")
+                                | F.col("_m").contains("SIP/2.0 ")))
+                 .withColumn("_sip", assemble(F.col("_m"))))
+    corr = F.regexp_extract(F.col("_sip"),
+                            correlation_hdr + r"\s?(.*?)\r?\n", 1)
+    out_cols = [
+        F.col(order), F.col("_sip").alias("payload"),
+        F.trim(corr).alias("correlation_id"),
+        F.col("_rc.sip_").alias("src_ip"),
+        F.col("_rc.sport").try_cast("int").alias("src_port"),
+        F.col("_rc.dip").alias("dst_ip"),
+        F.col("_rc.dport").try_cast("int").alias("dst_port"),
+        F.when(F.col("_rc.proto") == "UDP", 17).otherwise(6)
+        .alias("protocol"),
+        F.lit(1).alias("proto_type")]
+    if ts:
+        out_cols.append(F.col(ts))
+    return sip_block.select(*out_cols)
+
+
+def app_cisco_correlate(df: DataFrame, *, field: str = "message",
+                        host: str = "host",
+                        order: str = "line_no",
+                        key: Sequence[str] = ()) -> DataFrame:
+    """Cisco ISR ``ccsipDisplayMsg`` log -> SIP/HEP assembly
+    (plugins/filters/app_cisco/filter_app_cisco.js:86-160):
+
+      * strip per-line syslog prefixes ``<pri>...: `` (:91-92);
+      * Call-ID then x-cid (x-cid WINS when both present, :95-106);
+      * ``Sent:`` -> src = the device host, dst = the From-URI host
+        unless it equals the device (then the To-URI host);
+        ``Received:`` mirrors (:119-147);
+      * timestamp ``MMM [D]D HH:mm:ss.SSS`` -> epoch sec + usec
+        (:149-156, moment semantics via try_to_timestamp — year-less,
+        pinned to 1970 like a moment parse with no year context);
+      * payload = cleaned block minus the ccsipDisplayMsg header line,
+        with a CRLF terminator (:157-158).
+
+    The reference's global ipcache persists missing fields across
+    blocks — re-expressed as a forward-fill over a ``key``-partitioned
+    window.  Its async ``dns.lookup`` FQDN resolution (:28-51, which
+    races postProcess and indexes a string) is the reverse_dns operator's
+    job — compose ``enrich.reverse_dns`` downstream when needed.
+    Output: (`order`, host, payload, correlation_id, src_ip, dst_ip,
+    ts_sec, ts_usec, proto_type=1)."""
+    msg = F.col(field).cast("string")
+    cleaned = F.regexp_replace(msg, r"<\d*>.*?(:\s|:)(\*|)", "")
+    callid = F.regexp_extract(cleaned, r"(?m)Call-ID:\s(.*?)$", 1)
+    xcid = F.regexp_extract(cleaned, r"(?m)x-cid:\s(.*?)$", 1)
+    cid = F.when(xcid != "", xcid).when(callid != "", callid)
+    direction = F.regexp_extract(cleaned, r"(Sent|Received):", 1)
+    from_ip = F.regexp_extract(
+        cleaned, r'From:\s(?:".*?"\s|)<sip:(?:.*?@|)(.*?)>;', 1)
+    to_ip = F.regexp_extract(cleaned, r"To: <sip:(?:.*?@|)(.*?)>", 1)
+    dev = F.col(host).cast("string")
+    other = F.when((from_ip != "") & (from_ip != dev), from_ip) \
+        .when(to_ip != "", to_ip)
+    src = F.when(direction == "Sent", dev) \
+        .when(direction == "Received", other)
+    dst = F.when(direction == "Sent", other) \
+        .when(direction == "Received", dev)
+    date_s = F.regexp_extract(
+        cleaned,
+        r"([A-Za-z]{3}\s{1,2}\d{1,2}\s\d{2}:\d{2}:\d{2}\.\d+)", 1)
+    dt = F.try_to_timestamp(F.when(date_s != "", date_s),
+                            F.lit("MMM [ ]d HH:mm:ss.SSS"))
+    ts_sec = dt.cast("double")
+    payload = F.concat(F.regexp_replace(
+        cleaned,
+        r"^[A-Za-z]{3}\s{1,2}\d{1,2}\s\d{2}:\d{2}:\d{2}\.\d+.*?:"
+        r"\s.*SIP/Msg/ccsipDisplayMsg:\n(Sent|Received):\n", ""),
+        F.lit("\r\n"))
+
+    base = df.withColumn("_f", F.struct(
+        F.when(cid.isNotNull(), cid).alias("cid"),
+        F.when(src.isNotNull() & (src != ""), src).alias("src"),
+        F.when(dst.isNotNull() & (dst != ""), dst).alias("dst"),
+        ts_sec.alias("tsec")))
+    w = (Window.partitionBy(*key) if key else Window.partitionBy()) \
+        .orderBy(F.col(order))
+
+    def ff(name):
+        return F.last(F.col("_f." + name), ignorenulls=True).over(w)
+
+    sec = ff("tsec")
+    return base.select(
+        F.col(order), dev.alias("host"), payload.alias("payload"),
+        F.coalesce(ff("cid"), F.lit("")).alias("correlation_id"),
+        ff("src").alias("src_ip"), ff("dst").alias("dst_ip"),
+        F.floor(sec).cast("long").alias("ts_sec"),
+        F.round((sec - F.floor(sec)) * 1000000).cast("long")
+        .alias("ts_usec"),
+        F.lit(1).alias("proto_type"))
+
+
 # --- janus trace/span assembly ------------------------------------------------
 
 _JANUS_USER_EVENTS = ("joined", "configured", "published", "subscribing",

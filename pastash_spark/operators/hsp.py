@@ -1,0 +1,252 @@
+"""HEPIC HSP pre-processor + qrelate scored correlation (SURVEY §2.3).
+
+Reference: plugins/filters/app_hsp/filter_app_hsp.js — a bencode-float CDR
+decoder with derived fields (duration/status_text/geo points/ip grouping)
+plus an in-memory ``qrelate`` engine (:20-30 vectors) that links related
+CDRs through score-ranked correlation keys (callid / correlation_id /
+x-cid / ruri_user ...).  The qrelate LRU becomes a HANDLE SELF-JOIN:
+records publish (name, value) handles per vector, candidate pairs share a
+handle, pair score = sum of matched vector scores, links at/above the
+threshold adopt the earliest partner's correlation id.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# filter_app_hsp.js:22-30 — the default qrelate vector table
+HSP_VECTORS: tuple[dict, ...] = (
+    {"score": 100, "key": "callid", "suffix": "_b2b-1"},
+    {"score": 100, "key": "correlation_id", "name": "callid"},
+    {"score": 100, "key": "x-cid", "name": "callid"},
+    {"score": 50, "key": "ruri_user", "regex": r"^(00|\+)"},
+    {"score": 50, "key": "from_user", "regex": r"^(00|\+)"},
+    {"score": 50, "key": "bnumber_ext"},
+    {"score": 50, "key": "anumber_ext"},
+)
+
+# filter_app_hsp.js:124-126
+HSP_CALL_STATUS = (
+    "NULL", "INIT", "UNAUTHORIZED", "PROGRESS", "RINGING", "CONNECTED",
+    "MOVED", "USER_BUSY", "USER_FAILURE", "HARD_FAILURE", "FINISHED",
+    "CANCELED", "TIMEOUT_TERMINATED", "BAD_TERMINATED", "DECLINE",
+    "UNKNOWN_TERMINATED")
+
+
+def ip2int(col: Column) -> Column:
+    """Dotted-quad -> u32 (filter_app_hsp.js:36-45 ip2int) as pure column
+    arithmetic; malformed addresses yield NULL via try_cast."""
+    p = F.split(col, r"\.")
+    return (F.get(p, 0).try_cast("long") * 16777216
+            + F.get(p, 1).try_cast("long") * 65536
+            + F.get(p, 2).try_cast("long") * 256
+            + F.get(p, 3).try_cast("long"))
+
+
+def scored_correlation(df: DataFrame, *,
+                       vectors: Sequence[Mapping[str, Any]] = HSP_VECTORS,
+                       id_col: str = "callid", order: str = "line_no",
+                       threshold: int = 100, max_bucket: int = 64,
+                       out_prefix: str = "hsp_") -> DataFrame:
+    """qrelate-style weighted multi-key correlation
+    (filter_app_hsp.js:20-30 vectors + :156 qrelate.process).
+
+    Each record publishes one HANDLE per matching vector:
+
+      * ``key``    — the column holding the value;
+      * ``name``   — the handle namespace (defaults to ``key``; the
+        reference folds correlation_id / x-cid into the ``callid``
+        namespace so all three link against each other);
+      * ``regex``  — participation gate on the value (ruri_user only
+        correlates for international ``^(00|+)`` numbers);
+      * ``suffix`` — B2BUA derivation: the record ALSO publishes
+        value+suffix, so leg-2's ``X_b2b-1`` callid links to leg-1's
+        ``X`` without any fuzzy matching.
+
+    Candidate pairs = records sharing a (name, value) handle, scored by
+    the sum of the matched vectors' scores (each handle namespace counts
+    once per pair at its max score).  A record links to its best earlier
+    partner (lowest order among pairs >= threshold) and ADOPTS that
+    partner's ``id_col`` — the batch analogue of qrelate's LRU adoption.
+    Documented divergence: adoption is one hop per batch (the reference
+    chains transitively only while the chain root stays in its LRU).
+
+    Scale shape: handles explode to <= 2x#vectors rows per record; the
+    self-join key (name, value) is high-cardinality (call ids), and each
+    handle bucket is capped at ``max_bucket`` occupants (the LRU's
+    maxSize analogue) so a degenerate hot value can never go quadratic.
+    Adds: ``{out_prefix}correlation`` (adopted id, NULL when unlinked)
+    and ``{out_prefix}score``."""
+    cols = set(df.columns)
+    handles = []
+    for v in vectors:
+        key = v["key"]
+        if key not in cols:
+            continue
+        val = F.col(key).cast("string")
+        gate = val.isNotNull() & (val != "")
+        if v.get("regex"):
+            gate = gate & val.rlike(v["regex"])
+        name = F.lit(v.get("name", key))
+        score = F.lit(int(v["score"]))
+        handles.append(F.when(gate, F.struct(
+            name.alias("hname"), val.alias("hval"),
+            score.alias("hscore"))))
+        if v.get("suffix"):
+            handles.append(F.when(gate, F.struct(
+                name.alias("hname"),
+                F.concat(val, F.lit(v["suffix"])).alias("hval"),
+                score.alias("hscore"))))
+    if not handles:
+        return (df.withColumn(out_prefix + "correlation",
+                              F.lit(None).cast("string"))
+                .withColumn(out_prefix + "score", F.lit(0)))
+
+    h = (df.select(F.col(order).alias("_o"),
+                   F.col(id_col).cast("string").alias("_id"),
+                   F.explode(F.filter(F.array(*handles),
+                                      lambda x: x.isNotNull()))
+                   .alias("_h"))
+         .select("_o", "_id", F.col("_h.hname").alias("hname"),
+                 F.col("_h.hval").alias("hval"),
+                 F.col("_h.hscore").alias("hscore")))
+    # LRU maxSize analogue: cap each handle bucket (keep the earliest
+    # occupants — the ones the reference's cache would have retained)
+    w_bucket = Window.partitionBy("hname", "hval").orderBy("_o")
+    h = (h.withColumn("_rn", F.row_number().over(w_bucket))
+         .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+
+    a = h.select(F.col("_o").alias("_ao"), F.col("_id").alias("_aid"),
+                 "hname", "hval", F.col("hscore").alias("_as"))
+    b = h.select(F.col("_o").alias("_bo"), "hname", "hval",
+                 F.col("hscore").alias("_bs"))
+    pairs = (a.join(b, ["hname", "hval"])
+             .filter(F.col("_ao") < F.col("_bo"))
+             # one namespace counts once per pair, at its max score
+             .groupBy("_ao", "_bo", "_aid", "hname")
+             .agg(F.greatest(F.max("_as"), F.max("_bs")).alias("_ns"))
+             .groupBy("_ao", "_bo", "_aid")
+             .agg(F.sum("_ns").alias("_score"))
+             .filter(F.col("_score") >= threshold))
+    w_best = Window.partitionBy("_bo").orderBy(F.col("_ao"))
+    best = (pairs.withColumn("_rn", F.row_number().over(w_best))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_bo"),
+                    F.col("_aid").alias(out_prefix + "correlation"),
+                    F.col("_score").cast("long")
+                    .alias(out_prefix + "score")))
+    return (df.join(best, df[order] == best["_bo"], "left").drop("_bo")
+            .withColumn(out_prefix + "score",
+                        F.coalesce(out_prefix + "score", F.lit(0))))
+
+
+def app_hsp_cdr(df: DataFrame, *, field: str = "message",
+                order: str = "line_no",
+                omit: Sequence[str] = (), groupby: str = "source",
+                ip_groups: Sequence[Mapping[str, Any]] | None = None,
+                links: bool = False,
+                vectors: Sequence[Mapping[str, Any]] = HSP_VECTORS,
+                links_threshold: int = 100) -> DataFrame:
+    """HSP CDR pre-processing (filter_app_hsp.js:133-199): ``cdr``-prefixed
+    bencode-float payloads decode to a string map, then derive
+
+      * ``duration`` = int(cdr_stop/1000 - cdr_connect/1000) when
+        cdr_stop > 0 (:160);
+      * ``status_text`` = callStatus[status] (:163);
+      * ``geopoint``/``destpoint`` = 'lat,lon' concat (:166-167);
+      * ``group`` = ipgroup, else the first ACTIVE ip_groups entry whose
+        exact ip or [ipbegin, ipend) int-range covers the groupby ip
+        (source/destination/media, :170-189 — the HEPIC API result table
+        arrives as the ``ip_groups`` literal, landing-zone model), else
+        'default'.
+
+    ``links=True`` runs qrelate scored correlation over the decoded
+    fields (see scored_correlation).  Plain ``d3:`` bencode events and
+    non-HSP rows pass through with a NULL cdr map (:139-144 passthrough).
+    Output adds: cdr (map<string,string>), duration, status_text,
+    geopoint, destpoint, group [+ hsp_* when links]."""
+    from pastash_spark.operators.parse import bencode_decode_py
+
+    msg = F.col(field).cast("string")
+    drop = set(omit)
+
+    @F.pandas_udf("map<string,string>")
+    def dec(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                if v.startswith("cdr"):
+                    raw = ("d" + v[3:] + "e").encode("utf-8")
+                elif v.startswith("d3:"):
+                    raw = v.encode("utf-8")
+                else:
+                    return None
+                d = bencode_decode_py(raw)
+                if not isinstance(d, dict):
+                    return None
+                return {str(k): None if x is None else str(x)
+                        for k, x in d.items() if k not in drop}
+            except Exception:
+                return None
+        return s.map(one)
+
+    out = df.withColumn("cdr", dec(msg))
+    c = F.col("cdr")
+    stop = c["cdr_stop"].try_cast("double")
+    connect = c["cdr_connect"].try_cast("double")
+    status = c["status"].try_cast("int")
+    st_labels = F.array(*[F.lit(s) for s in HSP_CALL_STATUS])
+    out = (out
+           .withColumn("duration",
+                       F.when(stop > 0, F.coalesce(
+                           (stop / 1000 - connect / 1000).cast("long"),
+                           F.lit(0))))
+           .withColumn("status_text",
+                       F.when(status.isNotNull()
+                              & (status >= 0)
+                              & (status < len(HSP_CALL_STATUS)),
+                              F.element_at(st_labels, status + 1)))
+           .withColumn("geopoint",
+                       F.when(c["geo_lat"].isNotNull(),
+                              F.concat_ws(",", c["geo_lat"],
+                                          c["geo_lan"])))
+           .withColumn("destpoint",
+                       F.when(c["dest_lat"].isNotNull(),
+                              F.concat_ws(",", c["dest_lat"],
+                                          c["dest_lan"]))))
+
+    gb_key = {"source": "source_ip", "destination": "destination_ip",
+              "media": "sdmedia_ip", "": "source_ip"}.get(groupby,
+                                                          "source_ip")
+    gip = c[gb_key]
+    group = c["ipgroup"]
+    if ip_groups:
+        gint = ip2int(gip)
+        # first active matching entry wins, in table order (:173-180)
+        resolved = F.lit(None).cast("string")
+        for g in reversed(list(ip_groups)):
+            if not g.get("active", True):
+                continue
+            hit = (gip == F.lit(str(g.get("ip", ""))))
+            if "ipbegin" in g and "ipend" in g:
+                hit = hit | ((gint > F.lit(int(g["ipbegin"])))
+                             & (gint < F.lit(int(g["ipend"]))))
+            resolved = F.when(hit, F.lit(g["name"])).otherwise(resolved)
+        group = F.coalesce(group, resolved)
+    out = out.withColumn("group", F.coalesce(group, F.lit("default")))
+
+    if links:
+        # expose the vector key columns from the map, then correlate
+        keys = {v["key"] for v in vectors}
+        for k in keys:
+            if k not in out.columns:
+                out = out.withColumn(k, c[k])
+        out = scored_correlation(out, vectors=vectors, id_col="callid",
+                                 order=order, threshold=links_threshold)
+        out = out.drop(*[k for k in keys if k not in df.columns])
+    return out

@@ -700,7 +700,10 @@ def bencode_decode_py(data: bytes):
         c = data[i:i + 1]
         if c == b"i":
             j = data.index(b"e", i)
-            return int(data[i + 1:j]), j + 1
+            raw = data[i + 1:j]
+            # @qxip/bencode's float-aware extension (the HSP protocol,
+            # filter_app_hsp.js:3): a fractional i-token decodes as float
+            return (float(raw) if b"." in raw else int(raw)), j + 1
         if c == b"l":
             out, i = [], i + 1
             while data[i:i + 1] != b"e":
@@ -926,3 +929,138 @@ def app_cdr_kamailio(df: DataFrame, *, field: str = DEFAULT_FIELD,
         p, lambda e, i: ~F.exists(F.slice(p, 1, i),
                                   lambda q: q["key"] == e["key"]))
     return out.withColumn("cdr", F.map_from_entries(dedup)).drop("_pairs")
+
+
+def app_cdr_opensips(df: DataFrame, *, field: str = DEFAULT_FIELD) -> DataFrame:
+    """OpenSIPS accounting CDR parse (plugins/filters/app_cdr_opensips/
+    filter_app_cdr_opensips.js:27-42): lines containing ``ended: `` re-emit
+    as the ``;``-separated ``k=v`` pair object; everything else drops.
+    Later duplicate keys win like the reference's sequential JS
+    assignment.  Output: one ``cdr`` map<string,string> column per ended
+    line."""
+    body = F.regexp_extract(F.col(field), r"ended: (.*)", 1)
+    rows = (df.filter(F.col(field).contains("ended: ") & (body != ""))
+            .select(body.alias("_b")))
+    # later duplicate keys win like JS sequential assignment; Spark 4's
+    # str_to_map THROWS on duplicates, so dedup explicitly (reverse ->
+    # first occurrence per key), same pattern as app_cdr_kamailio
+    pairs = F.transform(
+        F.reverse(F.split(F.col("_b"), ";")),
+        lambda r: F.struct(F.get(F.split(r, "="), 0).alias("key"),
+                           F.get(F.split(r, "="), 1).alias("value")))
+    rows = rows.select(pairs.alias("_pairs"))
+    p = F.col("_pairs")
+    dedup = F.filter(
+        p, lambda e, i: ~F.exists(F.slice(p, 1, i),
+                                  lambda q: q["key"] == e["key"]))
+    return rows.select(F.map_from_entries(dedup).alias("cdr"))
+
+
+def app_sesm(df: DataFrame, *, field: str = DEFAULT_FIELD,
+             target: str = "message") -> DataFrame:
+    """SESM CSV -> influx-line-protocol render (plugins/filters/app_sesm/
+    filter_app_sesm.js:33-44; the reference file has two literal syntax
+    errors — ``var i:int`` and an unbalanced paren — so this implements
+    its documented intent): ``date,time,system,type,metric,k1,v1,k2,v2...``
+    becomes ``metric,system=<s>,type=<t> k1=v1,k2=v2 <epoch_ms>000000``.
+    Pure column expressions; unparseable timestamps yield NULL epoch like
+    JS Date.parse -> NaN."""
+    p = F.split(F.col(field), ",")
+    ts_ms = (F.try_to_timestamp(
+        F.concat_ws(" ", F.get(p, 0), F.get(p, 1)))
+        .cast("double") * 1000).cast("long")
+    n = F.size(p)
+    # field pairs from index 5: p[i]=p[i+1] joined with ','
+    idx = F.sequence(F.lit(5), n - 2, F.lit(2))
+    pairs = F.when(n >= 7, F.array_join(
+        F.transform(idx, lambda i: F.concat_ws("=", F.get(p, i),
+                                               F.get(p, i + 1))), ","))
+    line = F.concat_ws(" ",
+                       F.concat(F.get(p, 4), F.lit(","),
+                                F.lit("system="), F.get(p, 2),
+                                F.lit(",type="), F.get(p, 3)),
+                       F.coalesce(pairs, F.lit("")),
+                       F.concat(ts_ms.cast("string"), F.lit("000000")))
+    return df.withColumn(target, line)
+
+
+def app_summa(df: DataFrame, *, field: str = DEFAULT_FIELD,
+              proto_type: int = 100) -> DataFrame:
+    """SUMMA JSON event -> HEP log envelope (plugins/filters/app_summa/
+    filter_app_summa.js:37-80): correlation id = content.sip-call-id,
+    else origin/destination/source session_id (in that order; rows with
+    none DROP), src/dst = host:port splits defaulting 10.0.0.1/10.0.0.2,
+    payload = the raw JSON, proto_type 100 (LOG), protocol 6.  The
+    reference stamps wall-clock time — batch output carries no ts columns
+    (the hep sink's ts_col supplies event time).  get_json_object keeps
+    it codegen-side; invalid JSON drops like the reference's catch."""
+    m = F.col(field).cast("string")
+
+    def j(path: str) -> Column:
+        return F.get_json_object(m, "$." + path)
+
+    cid = F.coalesce(j("content['sip-call-id']"),
+                     j("origin.session_id"),
+                     j("destination.session_id"),
+                     j("source.session_id"))
+    src = F.coalesce(j("source.host"), F.lit("10.0.0.1:0"))
+    dst = F.coalesce(j("destination.host"), F.lit("10.0.0.2:0"))
+    return (df.filter(cid.isNotNull() & (cid != ""))
+            .select(m.alias("payload"),
+                    cid.alias("correlation_id"),
+                    F.lit(proto_type).alias("proto_type"),
+                    F.get(F.split(src, ":"), 0).alias("src_ip"),
+                    F.coalesce(F.get(F.split(src, ":"), 1)
+                               .try_cast("int"), F.lit(0))
+                    .alias("src_port"),
+                    F.get(F.split(dst, ":"), 0).alias("dst_ip"),
+                    F.coalesce(F.get(F.split(dst, ":"), 1)
+                               .try_cast("int"), F.lit(0))
+                    .alias("dst_port"),
+                    F.lit(6).alias("protocol")))
+
+
+def app_sonus_monitor(df: DataFrame, *, field: str = "payload",
+                      correlation_hdr: str | None = None,
+                      remove_headers: bool = False) -> DataFrame:
+    """Sonus monitoring feed -> HEP addressing (plugins/filters/
+    app_sonus_monitor/filter_app_sonusmonitor.js:33-76): srcIp/dstIp/
+    Timestamp headers parsed out of the payload, 2.0/TCP|TLS flips
+    protocol 17->6, optional correlation header extract, optional header
+    strip.  The reference indexes the matchAll spread ([1] = the second
+    MATCH, and reads an undefined ``str``/``last``/``rcinfo``) — this
+    implements the documented intent: FIRST match's groups, the payload
+    itself for the TCP test.  Defaults mirror :57-63."""
+    m = F.col(field).cast("string")
+
+    def g(rx: str, i: int, default):
+        v = F.regexp_extract(m, rx, i)
+        return F.when(v != "", v).otherwise(F.lit(default))
+
+    out = df.withColumn("src_ip", g(r"srcIp: ([0-9.]+):([0-9]+)", 1,
+                                    "127.0.0.1")) \
+        .withColumn("src_port", g(r"srcIp: ([0-9.]+):([0-9]+)", 2, "5061")
+                    .try_cast("int")) \
+        .withColumn("dst_ip", g(r"dstIp: ([0-9.]+):([0-9]+)", 1,
+                                "127.0.0.2")) \
+        .withColumn("dst_port", g(r"dstIp: ([0-9.]+):([0-9]+)", 2, "5061")
+                    .try_cast("int")) \
+        .withColumn("ts_sec", F.regexp_extract(
+            m, r"Timestamp=([0-9]+)\.([0-9]+)", 1).try_cast("long")) \
+        .withColumn("ts_usec", F.regexp_extract(
+            m, r"Timestamp=([0-9]+)\.([0-9]+)", 2).try_cast("long")) \
+        .withColumn("protocol",
+                    F.when(m.contains("2.0/TCP") | m.contains("2.0/TLS"),
+                           6).otherwise(17)) \
+        .withColumn("proto_type", F.lit(1))
+    if correlation_hdr:
+        out = out.withColumn(
+            "correlation_id",
+            F.trim(F.regexp_extract(m, correlation_hdr + r":\s?(.*)\r", 1)))
+    if remove_headers:
+        out = out.withColumn(
+            field,
+            F.regexp_replace(
+                F.regexp_replace(m, r"(srcIp.*?)(?:\r|\n|\r\n){2}", ""),
+                r"(dstIp.*?)(?:\r|\n|\r\n){2}", ""))
+    return out

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pastash_spark.functions.conditions import compile_condition
 from pastash_spark.operators import correlate as C
 from pastash_spark.operators import enrich as E
+from pastash_spark.operators import hsp as H
 from pastash_spark.operators import mutate as M
 from pastash_spark.operators import parse as P
 from pastash_spark.operators import route as R
@@ -85,6 +86,19 @@ _REGISTRY: dict[str, StageFn] = {
     "app_rtpproxy": C.app_rtpproxy_correlate,
     "app_audiocodes": C.app_audiocodes_correlate,
     "audiocodes": C.app_audiocodes_correlate,
+    "app_ingate": C.app_ingate_correlate,
+    "app_cisco": C.app_cisco_correlate,
+    "app_janus_tracer": C.janus_trace_spans,
+    "app_janus_uptrace": C.janus_trace_spans,
+    "app_hsp": H.app_hsp_cdr,
+    "app_avaya": C.app_avaya_correlate,
+    "app_cdr_opensips": P.app_cdr_opensips,
+    "app_sesm": P.app_sesm,
+    "app_summa": P.app_summa,
+    "app_sonus_monitor": P.app_sonus_monitor,
+    "app_sonus": C.app_sonus_reassemble,
+    "app_genesys": C.app_genesys_correlate,
+    "app_janus_sip": C.app_janus_sip_correlate,
     # conf-surface plugin names that alias operators above
     "mutate_replace": M.gsub,
     "noop": lambda df: df,

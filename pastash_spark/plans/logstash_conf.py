@@ -303,6 +303,12 @@ _PARAM_DEFAULTS: dict[str, dict[str, Any]] = {
     # batch multiline groups per input file in arrival order (the
     # reference's implicit single-stream order)
     "multiline": {"key": ["path"], "order": "line_no"},
+    # the r05 stateful app packs: the reference's one-agent-global caches
+    # become per-file windows on the conf surface (scale-safe default;
+    # pass key => [] explicitly to reproduce the global stream)
+    "app_ingate": {"key": ["path"], "order": "line_no"},
+    "app_avaya": {"key": ["path"], "order": "line_no"},
+    "app_cisco": {"key": ["path"], "order": "line_no"},
 }
 # params that are comma-joined strings on the conf surface but lists here
 _LIST_PARAMS: dict[str, tuple[str, ...]] = {

@@ -1603,6 +1603,39 @@ def q_audiocodes_sip(spark, sf_dir):
                       "dst_port", "protocol")
 
 
+@_q("hsp_scored_correlation", """
+WITH legs AS (
+  SELECT event_id*2 AS ord, 'c' || CAST(event_id AS VARCHAR) AS callid,
+         event_id AS eid FROM events
+  UNION ALL
+  SELECT event_id*2+1,
+         'c' || CAST(event_id AS VARCHAR) || '_b2b-1', event_id
+  FROM events)
+SELECT ord, callid,
+       CASE WHEN ord % 2 = 1
+            THEN 'c' || CAST(eid AS VARCHAR) END AS hsp_correlation,
+       CAST(CASE WHEN ord % 2 = 1 THEN 100 ELSE 0 END AS BIGINT)
+         AS hsp_score
+FROM legs
+""")
+def q_hsp_scored_correlation(spark, sf_dir):
+    """qrelate scored correlation (filter_app_hsp.js:20-30): render a
+    B2BUA leg pair per event (leg2 callid = leg1 callid + '_b2b-1'), run
+    the vector correlation, and let the oracle assert every second leg
+    adopts its first leg's callid at score 100."""
+    from pastash_spark.operators import hsp as H
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    leg1 = ev.select((F.col("event_id") * 2).alias("ord"),
+                     F.concat(F.lit("c"), F.col("event_id").cast("string"))
+                     .alias("callid"))
+    leg2 = ev.select((F.col("event_id") * 2 + 1).alias("ord"),
+                     F.concat(F.lit("c"), F.col("event_id").cast("string"),
+                              F.lit("_b2b-1")).alias("callid"))
+    df = leg1.unionByName(leg2)
+    out = H.scored_correlation(df, order="ord")
+    return out.select("ord", "callid", "hsp_correlation", "hsp_score")
+
+
 @_q("janus_trace_spans", """
 WITH e AS (SELECT event_id AS eid,
                   'js' || CAST(event_id AS VARCHAR) AS s FROM events),
@@ -2092,6 +2125,8 @@ _GATE_TAIL = [
     # rotated OUT round 5 (slots ceded to the r04 app packs and the janus
     # tracer — see window):
     "mutate_gsub", "jail_serialize", "statsd_metrics", "bunyan_parse",
+    # r05 additions (full oracles; window at capacity)
+    "hsp_scored_correlation",
     # rotated OUT round 4 (window slots ceded to round-3 components):
     # ngram_jaccard_pairs verifies minhash_lsh_dedup, ann_lsh_topk is the
     # third ANN variant (recall pytest-pinned), token_stats overlaps

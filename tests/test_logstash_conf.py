@@ -377,6 +377,33 @@ class TestEndToEnd421:
         assert r["tcp_port"] == 17874 and r["@version"] == "1"
         assert r["host"] and r["@timestamp"]
 
+    def test_app_ingate_plugin_conf_surface(self, spark):
+        """The app_ingate PLUGIN on the conf surface: the per-file key
+        default (scale-safe _PARAM_DEFAULTS) binds to the input's path
+        column, egress ipcache fill + SIP block assembly run from literal
+        .conf text, and the output carries HEP-ready rcinfo columns."""
+        lines = [
+            "Info: sipfw: send sf (0x1) to 4.8.12.4:5061 via "
+            "1.1.1.1:6005 UDP connection 2:",
+            "\n".join([
+                "<134>May 27 02:52:53 netlogger:              "
+                "INVITE sip:x SIP/2.0",
+                "<134>May 27 02:52:53 netlogger:              "
+                "Call-ID: conf-ing-1",
+            ]),
+        ]
+        df = spark.createDataFrame(
+            [("f1.txt", i + 1, l) for i, l in enumerate(lines)],
+            "path string, line_no long, message string")
+        out, _ = build_conf(df, "filter { app_ingate {} }")
+        rows = out.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.src_ip == "1.1.1.1" and r.dst_port == 5061
+        assert r.protocol == 17 and r.proto_type == 1
+        assert r.correlation_id == "conf-ing-1"
+        assert r.payload.startswith("INVITE sip:x SIP/2.0\r\n")
+
     def test_ingate_recipe_shape(self, spark, tmp_path):
         """The shipped ingate recipe (plugins/filters/app_ingate/
         ingate_udp_syslog.conf) run e2e through the landing-zone model:

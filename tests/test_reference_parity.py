@@ -600,6 +600,387 @@ class TestAppRtpProxy:
         assert len(c_7000) == 1 and c_7000[0].ip == "10.0.0.3"
 
 
+class TestAppJanusSip:
+    """plugins/filters/app_janus_sip/filter_app_janus_sip.js — websocket/
+    session cache dims + sip-in/sip-out addressing."""
+
+    SIP = ("INVITE sip:x SIP/2.0\r\n"
+           "Via: SIP/2.0/UDP 10.0.0.5:5071;rport=5072\r\n"
+           "Call-ID: jsip-1\r\n\r\n")
+
+    def _run(self, spark, rows):
+        from pastash_spark.operators import correlate as C
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_us long, type int, session_id string, "
+                  "ws_id string, ws_event string, ws_ip string, sip string")
+        return C.app_janus_sip_correlate(df).collect()
+
+    def test_cached_session_addressing(self, spark):
+        rows = [
+            (1, 1000000, 128, None, "w1", "connected", "9.9.9.9", None),
+            (2, 2000000, 1, "s1", "w1", None, None, None),
+            (3, 3500000, 2, "s1", None, "sip-out", None, self.SIP),
+            (4, 4000000, 2, "s1", None, "sip-in", None, self.SIP),
+        ]
+        got = {r.event_id: r for r in self._run(spark, rows)}
+        out = got[3]
+        # sip-out (:115-128): src = cached ws ip, port 5050 fallback
+        assert (out.src_ip, out.src_port) == ("9.9.9.9", 5050)
+        assert (out.dst_ip, out.dst_port) == ("10.0.0.5", 5071)
+        assert out.correlation_id == "jsip-1"
+        assert (out.ts_sec, out.ts_usec) == (3, 500)
+        inn = got[4]
+        # sip-in (:129-147): src = Via, dst = session ip + Via rport
+        assert (inn.src_ip, inn.src_port) == ("10.0.0.5", 5071)
+        assert (inn.dst_ip, inn.dst_port) == ("9.9.9.9", 5072)
+
+    def test_cache_miss_infers_from_via(self, spark):
+        rows = [(1, 1000000, 2, "s9", None, "sip-out", None, self.SIP)]
+        r = self._run(spark, rows)[0]
+        # no session entry: ip AND port inferred from the first Via (:97)
+        assert (r.src_ip, r.src_port) == ("10.0.0.5", 5071)
+
+
+class TestAppGenesys:
+    """plugins/filters/app_genesys/filter_app_genesys.js — CID:CUUID
+    pairing + Received/Sending addressing + log CallUUID rows."""
+
+    RCV = ("12:00:01 SIPTR: Received [0,UDP] 300 bytes from 10.0.0.7:5060 \n"
+           "INVITE sip:x SIP/2.0\r\n"
+           "Contact: <sip:a@10.0.0.9:5080>\r\n"
+           "Call-ID: gen-1@10.0.0.9\r\n\r\n")
+    SND = ("12:00:02 SIPSR: Sending  [0,TCP] 280 bytes to 10.0.0.7:5060 \n"
+           "SIP/2.0 200 OK\r\n"
+           "Contact: <sip:a@10.0.0.9:5080>\r\n"
+           "Call-ID: gen-1@10.0.0.9\r\n\r\n")
+
+    def _run(self, spark, lines):
+        from pastash_spark.operators import correlate as C
+        df = spark.createDataFrame(
+            [(i + 1, l) for i, l in enumerate(lines)],
+            "line_no long, message string")
+        return C.app_genesys_correlate(df).collect()
+
+    def test_received_and_sending_addressing(self, spark):
+        got = {r.line_no: r for r in self._run(spark, [self.RCV, self.SND])}
+        r = got[1]
+        # Received (:88-95): src = remote, dst = local (callid @host +
+        # first host:port> match); no pairing -> correlation = Call-ID
+        assert (r.src_ip, r.src_port) == ("10.0.0.7", 5060)
+        assert (r.dst_ip, r.dst_port) == ("10.0.0.9", 5080)
+        assert r.protocol == 17 and r.proto_type == 1
+        assert r.correlation_id == "gen-1@10.0.0.9"
+        # JS .replace('\n','\r\n') on an already-CRLF body doubles the
+        # first \r — faithful quirk
+        assert r.payload.startswith("INVITE sip:x SIP/2.0\r\r\n")
+        s = got[2]
+        assert (s.src_ip, s.src_port) == ("10.0.0.9", 5080)
+        assert (s.dst_ip, s.dst_port) == ("10.0.0.7", 5060)
+        assert s.protocol == 6                      # TCP head
+
+    def test_cuuid_pairing_and_log_rows(self, spark):
+        pub = "x CID:CUUID>gen-1@10.0.0.9:UUID-42"
+        log = "event: message\nAttributeThisDN\tCallUUID\t'UUID-42'\nmore"
+        got = self._run(spark, [pub, self.RCV, log])
+        sip = [r for r in got if r.proto_type == 1][0]
+        # published uuid wins over the Call-ID (:119-122)
+        assert sip.correlation_id == "UUID-42"
+        logs = [r for r in got if r.proto_type == 100]
+        assert len(logs) == 1 and logs[0].correlation_id == "UUID-42"
+        assert logs[0].src_ip == "127.0.0.1" and logs[0].protocol == 17
+
+
+class TestAppAvaya:
+    """plugins/filters/app_avaya/filter_app_avaya.js — SIPMSGT block
+    buffer/release with continuation append."""
+
+    def _block(self, n, sip="INVITE sip:x SIP/2.0#015#012"
+                            "Call-ID: av-1#015#012"):
+        return ("tracer SIPMSGT #012--------------------#012"
+                f"01/02/2023 10:20:30.500#012hdr#012"
+                f"L10.0.0.1:5060/R10.0.0.{n}:5062/UDP/#012" + sip)
+
+    def _run(self, spark, lines, **kw):
+        from pastash_spark.operators import correlate as C
+        df = spark.createDataFrame(
+            [(i + 1, l) for i, l in enumerate(lines)],
+            "line_no long, message string")
+        return C.app_avaya_correlate(df, **kw).collect()
+
+    def test_block_release_and_datagram(self, spark):
+        rows = self._run(spark, [self._block(7), self._block(8)],
+                         correlation_hdr="Call-ID")
+        # block 1 emits at block 2's arrival; the trigger is consumed
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.src_ip, r.src_port) == ("10.0.0.7", 5062)  # R side (:72)
+        assert (r.dst_ip, r.dst_port) == ("10.0.0.1", 5060)  # L fallback
+        assert r.protocol == 17
+        assert r.payload.startswith("INVITE sip:x SIP/2.0\r\n")
+        assert r.correlation_id == "av-1"
+        assert r.ts_sec == 1675246830 and r.ts_usec == 500000
+
+    def test_continuation_appends_to_held_block(self, spark):
+        cont = "tracer SIPMSGT+ #015#012more-header: 1"
+        rows = self._run(spark, [self._block(7), cont, self._block(8)])
+        assert len(rows) == 1
+        assert "more-header: 1" in rows[0].payload
+
+    def test_alternating_emission(self, spark):
+        rows = self._run(spark, [self._block(n) for n in range(1, 5)])
+        # 4 blocks -> blocks 1 and 3 emit (odd ranks with a later release)
+        assert sorted(r.src_ip for r in rows) == ["10.0.0.1", "10.0.0.3"]
+
+
+class TestSmallAppPacks:
+    """app_cdr_opensips / app_sesm / app_summa / app_sonus_monitor —
+    stateless per-line packs."""
+
+    def test_opensips_cdr(self, spark):
+        from pastash_spark.operators import parse as P
+        df = spark.createDataFrame(
+            [("ACC: call ended: a=1;b=x y;dup=1;dup=2",), ("other",)],
+            "message string")
+        rows = P.app_cdr_opensips(df).collect()
+        assert len(rows) == 1
+        cdr = rows[0].cdr
+        assert cdr["a"] == "1" and cdr["b"] == "x y"
+        assert cdr["dup"] == "2"          # sequential overwrite like JS
+
+    def test_sesm_influx_line(self, spark):
+        from pastash_spark.operators import parse as P
+        line = "2020-01-02,03:04:05,sysA,typeB,metricC,k1,7,k2,9"
+        df = spark.createDataFrame([(line,)], "message string")
+        out = P.app_sesm(df).first().message
+        assert out.startswith("metricC,system=sysA,type=typeB k1=7,k2=9 ")
+        assert out.endswith("000000")
+        ts = int(out.rsplit(" ", 1)[1]) // 1_000_000
+        assert ts == 1577934245000        # epoch ms of 2020-01-02T03:04:05Z
+
+    def test_summa_correlation_coalesce(self, spark):
+        from pastash_spark.operators import parse as P
+        import json
+        a = json.dumps({"source": {"host": "10.0.0.1:100",
+                                   "session_id": "sess-s"},
+                        "destination": {"host": "10.0.0.2:200"},
+                        "content": {"sip-call-id": "cid-a"}})
+        b = json.dumps({"source": {}, "destination": {},
+                        "origin": {"session_id": "orig-b"}})
+        c = json.dumps({"source": {}, "destination": {}})  # no cid: drops
+        df = spark.createDataFrame([(a,), (b,), (c,)], "message string")
+        rows = P.app_summa(df).collect()
+        assert len(rows) == 2
+        got = {r.correlation_id: r for r in rows}
+        assert got["cid-a"].src_ip == "10.0.0.1"
+        assert got["cid-a"].src_port == 100
+        assert got["cid-a"].dst_port == 200
+        assert got["cid-a"].proto_type == 100 and got["cid-a"].protocol == 6
+        assert "orig-b" in got                # origin wins over source
+        assert got["orig-b"].src_ip == "10.0.0.1"  # default host (:39)
+
+    def test_sonus_monitor_headers(self, spark):
+        from pastash_spark.operators import parse as P
+        pay = ("srcIp: 10.0.0.5:5060\ndstIp: 10.0.0.9:5061\n"
+               "Timestamp=1700000000.250\nINVITE sip 2.0/TLS\r\n"
+               "Call-ID: sm-1\r\n")
+        df = spark.createDataFrame([(pay,), ("empty",)], "payload string")
+        rows = P.app_sonus_monitor(df, correlation_hdr="Call-ID").collect()
+        got = rows[0]
+        assert (got.src_ip, got.src_port) == ("10.0.0.5", 5060)
+        assert (got.dst_ip, got.dst_port) == ("10.0.0.9", 5061)
+        assert (got.ts_sec, got.ts_usec) == (1700000000, 250)
+        assert got.protocol == 6              # 2.0/TLS flip (:71-73)
+        assert got.correlation_id == "sm-1"
+        dflt = rows[1]
+        assert (dflt.src_ip, dflt.src_port) == ("127.0.0.1", 5061)
+        assert dflt.protocol == 17
+
+
+class TestAppIngate:
+    """plugins/filters/app_ingate/filter_app_ingate.js — egress/ingress
+    ipcache forward-fill + indented SIP block reassembly (the readme
+    family's SIParator recipe)."""
+
+    BLOCK = ("\n".join([
+        "<134>May 27 02:52:53 netlogger:              SIP/2.0 200 OK",
+        "<134>May 27 02:52:53 netlogger:              Via: SIP/2.0/TLS "
+        "1.1.1.1:6005",
+        "<134>May 27 02:52:53 netlogger:              Call-ID: ing-77",
+        "<134>May 27 02:52:53 netlogger:",
+        "<134>May 27 02:52:53 netlogger:              v=0",
+        "<134>May 27 02:52:53 netlogger: Info: sipfw: other log noise",
+        "<134>May 27 02:52:53 netlogger:              NEVER REACHED",
+    ]))
+
+    def _run(self, spark, lines):
+        from pastash_spark.operators import correlate as C
+        df = spark.createDataFrame(
+            [(i + 1, l) for i, l in enumerate(lines)],
+            "line_no long, message string")
+        return C.app_ingate_correlate(df).collect()
+
+    def test_egress_addressing_and_block(self, spark):
+        rows = self._run(spark, [
+            "Info: sipfw: send sf (0x1381b50) to 4.8.12.4:5061 via "
+            "1.1.1.1:6005 TLS connection 2:",
+            self.BLOCK,
+        ])
+        assert len(rows) == 1
+        r = rows[0]
+        # egress (:67-74): src = via, dst = to; TLS -> protocol 6
+        assert (r.src_ip, r.src_port) == ("1.1.1.1", 6005)
+        assert (r.dst_ip, r.dst_port) == ("4.8.12.4", 5061)
+        assert r.protocol == 6 and r.proto_type == 1
+        # block assembly (:135-160): 14-space capture + blank SDP line +
+        # sipfw bailout past line 3
+        assert r.payload.startswith("SIP/2.0 200 OK\r\n")
+        assert "\r\n\r\nv=0\r\n" in r.payload
+        assert "NEVER REACHED" not in r.payload
+        assert r.correlation_id == "ing-77"
+
+    def test_ingress_addressing_udp(self, spark):
+        rows = self._run(spark, [
+            "Info: sipfw: recv from 4.8.12.4:5061 via 8.8.8.8:6005 UDP "
+            "connection 3:",
+            self.BLOCK,
+        ])
+        r = rows[0]
+        # ingress (:92-99): src = from, dst = via; UDP -> 17
+        assert (r.src_ip, r.src_port) == ("4.8.12.4", 5061)
+        assert (r.dst_ip, r.dst_port) == ("8.8.8.8", 6005)
+        assert r.protocol == 17
+
+
+class TestAppCisco:
+    """plugins/filters/app_cisco/filter_app_cisco.js — ccsipDisplayMsg
+    block -> SIP/HEP with direction-resolved addressing."""
+
+    def _block(self, direction, extra=""):
+        return "\n".join([
+            "Jul 12 16:59:53.123: //1234//SIP/Msg/ccsipDisplayMsg:",
+            direction + ":",
+            "INVITE sip:bob@10.0.0.9:5060 SIP/2.0",
+            'From: "a" <sip:alice@10.0.0.5>;tag=1',
+            "To: <sip:bob@10.0.0.9>",
+            "Call-ID: cid-cisco-1"]) + extra
+
+    def _run(self, spark, blocks):
+        from pastash_spark.operators import correlate as C
+        df = spark.createDataFrame(
+            [(i + 1, "r1", b) for i, b in enumerate(blocks)],
+            "line_no long, host string, message string")
+        return C.app_cisco_correlate(df).collect()
+
+    def test_sent_direction_and_payload(self, spark):
+        r = self._run(spark, [self._block("Sent")])[0]
+        # Sent (:123-135): src = device, dst = the From host (!= device)
+        assert r.src_ip == "r1" and r.dst_ip == "10.0.0.5"
+        assert r.correlation_id == "cid-cisco-1"
+        # header line stripped (:157), CRLF terminator added
+        assert r.payload.startswith("INVITE sip:bob@10.0.0.9:5060 SIP/2.0")
+        assert r.payload.endswith("\r\n")
+        # timestamp: sec + moment-style msec*1000 usec (:149-156)
+        assert r.ts_usec == 123000
+
+    def test_received_direction_and_xcid_wins(self, spark):
+        r = self._run(spark,
+                      [self._block("Received", "\nx-cid: xcid-9")])[0]
+        assert r.dst_ip == "r1" and r.src_ip == "10.0.0.5"
+        # x-cid overrides Call-ID (:101-106)
+        assert r.correlation_id == "xcid-9"
+
+
+class TestAppHsp:
+    """plugins/filters/app_hsp/filter_app_hsp.js — HSP bencode CDR decode
+    with derived fields + the qrelate scored-correlation vectors."""
+
+    @staticmethod
+    def _benc(d):
+        def enc(v):
+            if isinstance(v, int):
+                return f"i{v}e"
+            if isinstance(v, float):
+                return f"i{v}e"
+            s = str(v)
+            return f"{len(s)}:{s}"
+        body = "".join(enc(k) + enc(v) for k, v in d.items())
+        return "d" + body + "e"
+
+    def _cdr_line(self, d):
+        return "cdr" + self._benc(d)[1:-1]
+
+    def test_cdr_decode_and_derived_fields(self, spark):
+        from pastash_spark.operators import hsp as H
+        line = self._cdr_line({
+            "callid": "X1", "cdr_connect": 1000, "cdr_stop": 61000,
+            "status": 5, "source_ip": "10.0.0.5",
+            "geo_lat": "52.1", "geo_lan": "4.3"})
+        df = spark.createDataFrame([(1, line), (2, "not hsp at all")],
+                                   "line_no long, message string")
+        groups = [{"name": "nl-core", "active": True,
+                   "ipbegin": 167772160, "ipend": 167772260},  # 10.0.0.x
+                  {"name": "inactive", "active": False, "ip": "10.0.0.5"}]
+        out = {r.line_no: r for r in
+               H.app_hsp_cdr(df, ip_groups=groups).collect()}
+        r = out[1]
+        assert r.cdr["callid"] == "X1"
+        # duration = int(stop/1000 - connect/1000) (:160)
+        assert r.duration == 60
+        assert r.status_text == "CONNECTED"         # callStatus[5] (:124)
+        assert r.geopoint == "52.1,4.3"
+        assert r.group == "nl-core"                 # int-range match (:178)
+        assert out[2].cdr is None and out[2].group == "default"
+
+    def test_float_aware_bencode_and_omit(self, spark):
+        from pastash_spark.operators import hsp as H
+        from pastash_spark.operators.parse import bencode_decode_py
+        assert bencode_decode_py(b"d3:mosi3.5ee") == {"mos": 3.5}
+        line = self._cdr_line({"callid": "Z", "secret": "x", "mos": 4.1})
+        df = spark.createDataFrame([(1, line)],
+                                   "line_no long, message string")
+        r = H.app_hsp_cdr(df, omit=("secret",)).first()
+        assert "secret" not in r.cdr and r.cdr["mos"] == "4.1"
+
+    def test_scored_correlation_vectors(self, spark):
+        from pastash_spark.operators import hsp as H
+        rows = [
+            # b2b pair: leg2's callid = leg1's + '_b2b-1' (vector suffix)
+            (1, "X", None, None, None),
+            (2, "X_b2b-1", None, None, None),
+            # x-cid folds into the callid namespace (score 100)
+            (3, "Y", None, None, None),
+            (4, "other-id", "Y", None, None),
+            # ruri_user alone scores 50 < threshold 100 -> unlinked
+            (5, "A", None, "0031612345678", None),
+            (6, "B", None, "0031612345678", None),
+            # ruri_user gate: national numbers never participate
+            (7, "C", None, "0612345678", None),
+            (8, "D", None, "0612345678", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "line_no long, callid string, `x-cid` string, "
+                  "ruri_user string, from_user string")
+        out = {r.line_no: r for r in
+               H.scored_correlation(df, order="line_no").collect()}
+        assert out[2].hsp_correlation == "X" and out[2].hsp_score == 100
+        assert out[4].hsp_correlation == "Y"
+        assert out[1].hsp_correlation is None      # earliest has no prior
+        assert out[6].hsp_correlation is None and out[6].hsp_score == 0
+        assert out[8].hsp_correlation is None
+
+    def test_scored_correlation_sums_namespaces(self, spark):
+        from pastash_spark.operators import hsp as H
+        rows = [(1, None, "0031612345678", "0031698765432"),
+                (2, None, "0031612345678", "0031698765432")]
+        df = spark.createDataFrame(
+            rows, "line_no long, callid string, ruri_user string, "
+                  "from_user string")
+        out = {r.line_no: r for r in
+               H.scored_correlation(df, order="line_no").collect()}
+        # two 50-point namespaces sum to the 100 threshold (:22-30)
+        assert out[2].hsp_score == 100
+
+
 class TestJanusTraceSpans:
     """filter_app_janus_tracer.js:174-919 / filter_app_janus_uptrace.js:
     140-420 — the span-assembly kernel: open/close pairing per session,
