@@ -160,3 +160,39 @@ def test_multiline_stream_flush_on_start_line_and_timeout(spark, tmp_path):
     msgs = {r.first_seq: r.message for r in spark.table("ml_out").collect()}
     assert msgs[1] == "START alpha\n cont-a"     # flushed by next start line
     assert msgs.get(3) == "START beta\n cont-b"  # flushed by idle timeout
+
+
+def test_janus_span_stream_pairing(spark, tmp_path):
+    """Streaming twin of janus_trace_spans: per-session state pairs
+    created/destroyed and attached/detached across micro-batch boundaries
+    and matches the batch kernel's ids and durations."""
+    import hashlib
+    from pastash_spark.streaming.state import janus_span_stream
+    src = str(tmp_path / "janus_src")
+    schema = ("session_id string, ord long, ts_us long, type int, "
+              "subtype int, event_name string, jsep_type string, "
+              "jsep_owner string, ice_state string")
+    spark.createDataFrame(
+        [("s1", 1, 100, 1, 0, "created", None, None, None),
+         ("s1", 2, 150, 2, 0, "attached", None, None, None),
+         ("s1", 3, 700, 2, 0, "detached", None, None, None),
+         ("s1", 4, 900, 1, 0, "destroyed", None, None, None)],
+        schema).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    out = janus_span_stream(stream)
+    q = (out.writeStream.format("memory").queryName("janus_spans")
+         .outputMode("append").start())
+    try:
+        _wait_rows(spark, "janus_spans", 4)
+    finally:
+        q.stop()
+    got = {r.name: r for r in spark.table("janus_spans").collect()}
+    tid = hashlib.md5(b"s1").hexdigest()
+    sess = got["Session"]
+    assert sess.trace_id == tid and sess.span_id == tid[:16]
+    assert (sess.start_us, sess.end_us, sess.duration_us) == (100, 900, 800)
+    att = got["Handle attached"]
+    att_id = hashlib.md5(b"s1:att:2").hexdigest()[:16]
+    assert att.span_id == att_id and att.duration_us == 550
+    assert got["Handle detached"].parent_span_id == att_id
+    assert got["Session destroyed"].parent_span_id == tid[:16]
