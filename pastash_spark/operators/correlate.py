@@ -253,11 +253,17 @@ def app_janus_correlate(df: DataFrame, *, ts: str = "ts",
     session), media_ip/media_port (type 32 only).
     """
     def latest(src: DataFrame, key: str, *vals: str) -> DataFrame:
-        w = (Window.partitionBy(key)
-             .orderBy(F.col(ts).desc(), F.col(order).desc()))
-        return (src.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(key, *vals))
+        # PERF (r06): latest-write-wins as max_by over the (ts, order)
+        # struct instead of a row_number sort-window — a hash aggregate
+        # with map-side partial combine (no per-key sort, ~|keys| rows
+        # cross the exchange instead of every event).  (ts, order) is the
+        # same deterministic recency key the window ordered by; struct
+        # comparison is lexicographic, so the selected row is identical.
+        recency = F.struct(F.col(ts).alias("_t"), F.col(order).alias("_o"))
+        return (src.groupBy(key)
+                .agg(F.max_by(F.struct(*[F.col(v) for v in vals]),
+                              recency).alias("_v"))
+                .select(key, *[F.col(f"_v.{v}").alias(v) for v in vals]))
 
     live = df.filter(F.col("type") != 64)
     t1 = live.filter((F.col("type") == 1) & F.col("session_id").isNotNull()
@@ -955,55 +961,37 @@ def janus_trace_spans(df: DataFrame, *, order: str = "event_id",
     def ffill(flag: Column, val: Column) -> Column:
         return F.last(F.when(flag, val), ignorenulls=True).over(w)
 
-    base = (base
-            .withColumn("_sess_ts", ffill(open_sess, ts_c))
-            .withColumn("_att_ord", ffill(open_att, F.col(order)))
-            .withColumn("_att_ts", ffill(open_att, ts_c))
-            .withColumn("_sdp_ord", ffill(open_sdp, F.col(order)))
-            .withColumn("_sdp_ts", ffill(open_sdp, ts_c))
-            .withColumn("_ice_ord", ffill(open_ice, F.col(order)))
-            .withColumn("_ice_ts", ffill(open_ice, ts_c)))
+    # PERF (r06): all seven forward-fills in ONE select — chained
+    # withColumn calls leave Project nodes between the Window operators,
+    # which defeats CollapseWindow and ran SEVEN sequential Window passes
+    # over the exploded stream (one sort, but 7 full running-aggregate
+    # iterations).  A single projection puts all last()-over-w expressions
+    # into one Window operator; values are unchanged (same spec, same
+    # frame, independent expressions).
+    base = base.select(
+        "*",
+        ffill(open_sess, ts_c).alias("_sess_ts"),
+        ffill(open_att, F.col(order)).alias("_att_ord"),
+        ffill(open_att, ts_c).alias("_att_ts"),
+        ffill(open_sdp, F.col(order)).alias("_sdp_ord"),
+        ffill(open_sdp, ts_c).alias("_sdp_ts"),
+        ffill(open_ice, F.col(order)).alias("_ice_ord"),
+        ffill(open_ice, ts_c).alias("_ice_ts"))
 
-    trace_id = F.md5(F.col("_tk"))
-    root_id = F.substring(trace_id, 1, 16)
-
+    # PERF (r06): every deterministic id is computed ONCE per row as a
+    # named column (the old per-branch span structs re-derived the same
+    # md5/concat expressions up to 4x per row and bloated the generated
+    # code); the branch chains collapse to ONE family-selector CaseWhen
+    # per slot plus small per-field CaseWhens keyed on it.  Values are
+    # unchanged: selector order mirrors the old when-chain order exactly,
+    # and the unconditional id columns evaluate the identical expressions
+    # the old branches evaluated lazily (incl. the concat_ws null-skip for
+    # a family that never opened).
     def child_id(family: str, ord_col: Column) -> Column:
         return F.substring(
             F.md5(F.concat_ws(":", F.col("_tk"), F.lit(family),
                               ord_col.cast("string"))), 1, 16)
 
-    def span(nm, service, span_id, parent, start, end) -> Column:
-        return F.struct(
-            F.lit(nm).alias("name") if isinstance(nm, str)
-            else nm.alias("name"),
-            F.lit(service).alias("service"),
-            span_id.alias("span_id"),
-            parent.alias("parent_span_id"),
-            start.cast("long").alias("start_us"),
-            end.cast("long").alias("end_us"),
-            (end - start).cast("long").alias("duration_us"))
-
-    null_parent = F.lit(None).cast("string")
-    att_id = child_id("att", F.col("_att_ord"))
-    sdp_id = child_id("sdp", F.col("_sdp_ord"))
-    ice_id = child_id("ice", F.col("_ice_ord"))
-
-    # paired OPEN-span emission, at the family's close event
-    open_emit = (
-        F.when(close_att & F.col("_att_ord").isNotNull(),
-               span("Handle attached", "Handle", att_id, root_id,
-                    F.col("_att_ts"), ts_c))
-        .when(close_sdp & F.col("_sdp_ord").isNotNull(),
-              span("JSEP Event - Offer", "JSEP", sdp_id, root_id,
-                   F.col("_sdp_ts"), ts_c))
-        .when(close_ice & F.col("_ice_ord").isNotNull(),
-              span("ICE gathering", "ICE", ice_id, root_id,
-                   F.col("_ice_ts"), ts_c))
-        .when(close_sess & F.col("_sess_ts").isNotNull(),
-              span("Session", "Session", root_id, null_parent,
-                   F.col("_sess_ts"), ts_c)))
-
-    pt_id = child_id("pt", F.col(order))
     ice16 = (t == 16) & sub.isin(2, 3, 4, 5, 6)
     ice16_name = (
         F.when(sub == 2, "Local Candidate")
@@ -1014,43 +1002,99 @@ def janus_trace_spans(df: DataFrame, *, order: str = "event_id",
         .when(sub == 6, "Connection Up"))
     ice1_pt = (t == 16) & (sub == 1) & ice.isin("connecting", "connected",
                                                 "ready")
+
+    # Family SELECTORS are materialized as int columns alongside the ids:
+    # Catalyst does not run common-subexpression elimination inside a
+    # Generate's generator expression, so anything referenced by several
+    # struct fields must be a real column or it re-evaluates per field.
+    base = base.select(
+        "*",
+        F.md5(F.col("_tk")).alias("_trace"),
+        F.substring(F.md5(F.col("_tk")), 1, 16).alias("_root"),
+        child_id("att", F.col("_att_ord")).alias("_attid"),
+        child_id("sdp", F.col("_sdp_ord")).alias("_sdpid"),
+        child_id("ice", F.col("_ice_ord")).alias("_iceid"),
+        child_id("pt", F.col(order)).alias("_ptid"),
+        (F.when(close_att & F.col("_att_ord").isNotNull(), 0)
+         .when(close_sdp & F.col("_sdp_ord").isNotNull(), 1)
+         .when(close_ice & F.col("_ice_ord").isNotNull(), 2)
+         .when(close_sess & F.col("_sess_ts").isNotNull(), 3))
+        .alias("_ofam"),
+        (F.when(close_sess, 0)
+         .when(close_att, 1)
+         .when(close_sdp, 2)
+         .when(ice1_pt, 3)
+         .when(ice16 & ice16_name.isNotNull(), 4)
+         .when(t == 4, 5)
+         .when((t == 64) & data_ev.isin(*_JANUS_USER_EVENTS), 6)
+         .when(t == 128, 7)
+         .when((t == 256) & (sub == 1), 8)
+         .when((t == 256) & (sub == 2), 9))
+        .alias("_pfam"))
+
+    null_parent = F.lit(None).cast("string")
+    root_id = F.col("_root")
+    att_id, sdp_id, ice_id = F.col("_attid"), F.col("_sdpid"), F.col("_iceid")
+    pt_id = F.col("_ptid")
+
+    def pick(sel: Column, vals: "list[Column]") -> Column:
+        expr = None
+        for i, v in enumerate(vals):
+            expr = (F.when(sel == i, v) if expr is None
+                    else expr.when(sel == i, v))
+        return expr
+
+    # paired OPEN-span emission, at the family's close event
+    ofam = F.col("_ofam")
+    o_start = pick(ofam, [F.col("_att_ts"), F.col("_sdp_ts"),
+                          F.col("_ice_ts"), F.col("_sess_ts")])
+    open_emit = F.when(ofam.isNotNull(), F.struct(
+        pick(ofam, [F.lit("Handle attached"), F.lit("JSEP Event - Offer"),
+                    F.lit("ICE gathering"), F.lit("Session")]).alias("name"),
+        pick(ofam, [F.lit("Handle"), F.lit("JSEP"), F.lit("ICE"),
+                    F.lit("Session")]).alias("service"),
+        pick(ofam, [att_id, sdp_id, ice_id, root_id]).alias("span_id"),
+        pick(ofam, [root_id, root_id, root_id,
+                    null_parent]).alias("parent_span_id"),
+        o_start.cast("long").alias("start_us"),
+        ts_c.cast("long").alias("end_us"),
+        (ts_c - o_start).cast("long").alias("duration_us")))
+
     ice1_name = (F.when(ice == "connecting", "ICE connecting")
                  .when(ice == "connected", "ICE connected")
                  .otherwise("ICE ready"))
-    point_emit = (
-        F.when(close_sess,
-               span("Session destroyed", "Session", pt_id, root_id,
-                    ts_c, ts_c))
-        .when(close_att,
-              span("Handle detached", "Handle", pt_id, att_id, ts_c, ts_c))
-        .when(close_sdp,
-              span("JSEP Event - Answer", "JSEP", pt_id, sdp_id,
-                   ts_c, ts_c))
-        .when(ice1_pt,
-              span(ice1_name, "ICE", pt_id, ice_id, ts_c, ts_c))
-        .when(ice16 & ice16_name.isNotNull(),
-              span(ice16_name, "ICE", pt_id, ice_id, ts_c, ts_c))
-        .when(t == 4,
-              span("External Event", "External", pt_id, root_id,
-                   ts_c, ts_c))
-        .when((t == 64) & data_ev.isin(*_JANUS_USER_EVENTS),
-              span(F.concat(F.lit("User "), data_ev), "Plugin", pt_id,
-                   root_id, ts_c, ts_c))
-        .when(t == 128,
-              span("Transport connected", "Transport Originated", pt_id,
-                   root_id, ts_c, ts_c))
-        .when((t == 256) & (sub == 1),
-              span("Startup", "Core", pt_id, root_id, ts_c, ts_c))
-        .when((t == 256) & (sub == 2),
-              span("Shutdown", "Core", pt_id, root_id, ts_c, ts_c)))
+    pfam = F.col("_pfam")
+    point_emit = F.when(pfam.isNotNull(), F.struct(
+        pick(pfam, [F.lit("Session destroyed"), F.lit("Handle detached"),
+                    F.lit("JSEP Event - Answer"), ice1_name, ice16_name,
+                    F.lit("External Event"),
+                    F.concat(F.lit("User "), data_ev),
+                    F.lit("Transport connected"), F.lit("Startup"),
+                    F.lit("Shutdown")]).alias("name"),
+        pick(pfam, [F.lit("Session"), F.lit("Handle"), F.lit("JSEP"),
+                    F.lit("ICE"), F.lit("ICE"), F.lit("External"),
+                    F.lit("Plugin"), F.lit("Transport Originated"),
+                    F.lit("Core"), F.lit("Core")]).alias("service"),
+        pt_id.alias("span_id"),
+        pick(pfam, [root_id, att_id, sdp_id, ice_id, ice_id, root_id,
+                    root_id, root_id, root_id,
+                    root_id]).alias("parent_span_id"),
+        ts_c.cast("long").alias("start_us"),
+        ts_c.cast("long").alias("end_us"),
+        (ts_c - ts_c).cast("long").alias("duration_us")))
 
+    # Explode the 2-slot span array FIRST and drop the null slots with a
+    # plain post-filter.  An F.filter(...) HOF here would be a
+    # CodegenFallback expression, forcing the span-struct CaseWhen trees
+    # into interpreted per-row evaluation; explode+IsNotNull keeps them in
+    # codegen.  Row set is identical: a null slot exploded then filtered
+    # == a slot removed before explode (and rows where both slots are
+    # null vanish either way).
     out = (base
-           .withColumn("_spans", F.filter(
-               F.array(open_emit, point_emit), lambda x: x.isNotNull()))
-           .filter(F.size("_spans") > 0)
            .select(F.col(order), F.col(session).alias("session_id"),
-                   trace_id.alias("trace_id"),
-                   F.explode("_spans").alias("_sp"))
+                   F.col("_trace").alias("trace_id"),
+                   F.explode(F.array(open_emit, point_emit)).alias("_sp"))
+           .filter(F.col("_sp").isNotNull())
            .select(F.col(order), "session_id", "trace_id",
                    F.col("_sp.span_id").alias("span_id"),
                    F.col("_sp.parent_span_id").alias("parent_span_id"),
@@ -1071,7 +1115,8 @@ RTP_CODEC_MAP = {0: "PCMU", 3: "GSM", 8: "PCMA", 9: "G722", 18: "G729",
 
 
 def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
-                           order: str = "line_no") -> DataFrame:
+                           order: str = "line_no",
+                           reuse: bool = True) -> DataFrame:
     """RTPProxy debug-log correlation (plugins/filters/app_rtpproxy/
     filter_app_rtpproxy.js:55-134): the reference keeps a driver-side
     ``ipcache`` keyed by command token (and a port->token alias map) across
@@ -1102,6 +1147,13 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
     port, ip, `order`).  Everything is equi-joins + windows; the token/port
     keys are high-cardinality, so the shuffles stay balanced at scale.
     """
+    # PERF (r06): five branches (creates/aliases/doreply/reply/cleanup)
+    # each re-scanned and re-rendered the full input; materialize the
+    # (order, message) projection ONCE and let every branch read it
+    # (dataset._reuse semantics/caveats).  Projecting first keeps the
+    # checkpoint narrow.
+    from pastash_spark.operators.dataset import _reuse
+    df = _reuse(df.select(F.col(order), F.col(field)), reuse)
     msg = F.col(field)
     cmd_re = r'received command "(.*)\s+(US|U|L)c(.*?)\s(.*?)\s'
     creates = (df.filter(msg.contains("received command "))
@@ -1183,6 +1235,11 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
         F.lit("create").alias("method"), "correlation_id", "token",
         "codec_name", "codec_pt", "codec_rate", "direction", "port", "ip",
         F.col("_r_ord").alias(order))
+    # `created` is both an output branch AND the delete branch's join
+    # source — materialize once instead of running the whole as-of join
+    # pipeline twice (plan showed 15 Window operators from the duplicated
+    # subtrees; with reuse it executes once).
+    created = _reuse(created, reuse)
 
     # cleanup: method='delete' clone of the session last seen on each port
     clean_re = r"session on ports (.*)/(.*?)\sis cleaned up"
@@ -1385,11 +1442,15 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
             # .filter can reference them (no window funcs in WHERE)
             .withColumn("_refrag_ok", refrag_cond)
             # second Arrow pass ONLY over reassembled strings (null
-            # elsewhere — the matcher short-circuits on empty input)
-            .withColumn("_p1", matcher(F.when(merge_cond, merged)))
-            .withColumn("_p2", matcher(F.when(refrag_cond, merged))))
+            # elsewhere — the matcher short-circuits on empty input).
+            # PERF (r06): merge_cond and refrag_cond are disjoint, so ONE
+            # matcher call covers both re-parse consumers (was two UDF
+            # round-trips); each consumer's guard keeps the values used
+            # identical.
+            .withColumn("_pm", matcher(
+                F.when(merge_cond | refrag_cond, merged))))
     base = base.withColumn(
-        "_pf", F.when(merge_cond, F.col("_p1")).otherwise(F.col("_p")))
+        "_pf", F.when(merge_cond, F.col("_pm")).otherwise(F.col("_p")))
     # a line consumed as a continuation must not emit again
     prev_hold = F.lag("_hold", 1).over(w_seq)
     prev_s = F.lag("_s", 1).over(w_seq)
@@ -1397,9 +1458,17 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
         "_consumed",
         F.coalesce(prev_hold & (prev_s == F.col("_s") - 1), F.lit(False)))
 
-    def _sip_select(p: Column, extra_filter: Column) -> DataFrame:
-        """Emit proto_type=1 SIP rows from one parsed struct column —
-        shared by the primary parse and the re-hold second message."""
+    # PERF (r06): ONE pass over `base` instead of three — the primary SIP
+    # emission, the re-hold second message and (qos) both MEDIA_END legs
+    # become four nullable struct SLOTS exploded from a single array; the
+    # previous unionByName branches each re-ran the whole scan + Arrow
+    # matcher + lead/lag window subtree (plan showed it triplicated).
+    # Slot values/conditions are byte-identical to the old branch
+    # filters/selects; a null slot (condition false/null) is dropped after
+    # the explode exactly as the old .filter dropped its row.
+    def _sip_struct(p: Column, extra_filter: Column) -> Column:
+        """proto_type=1 SIP slot from one parsed struct column — the
+        primary parse and the re-hold second message share this."""
         hit, remote = p["hit"], p["remote"]
         raw_pay = p["raw_pay"]
         if version in ("7.40A.500", "7.20A.256.511"):
@@ -1428,27 +1497,25 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
         incoming = hit == 1
         r_ip = F.get(F.split(remote, ":"), 0)
         r_port = F.get(F.split(remote, ":"), 1).try_cast("int")
-        return (base.filter((hit != 0) & ~F.col("_consumed") & extra_filter)
-                .select(
-            F.col(order), "sid", F.lit(1).alias("proto_type"),
-            payload.alias("payload"), corr.alias("correlation_id"),
-            F.when(incoming, r_ip).otherwise(F.lit(localip))
-             .alias("src_ip"),
-            F.when(incoming, r_port).otherwise(F.lit(localport))
-             .cast("int").alias("src_port"),
-            F.when(incoming, F.lit(localip)).otherwise(r_ip)
-             .alias("dst_ip"),
-            F.when(incoming, F.lit(localport)).otherwise(r_port)
-             .cast("int").alias("dst_port"),
-            proto.alias("protocol")))
+        return F.when(
+            (hit != 0) & ~F.col("_consumed") & extra_filter,
+            F.struct(
+                F.lit(1).alias("proto_type"),
+                payload.alias("payload"), corr.alias("correlation_id"),
+                F.when(incoming, r_ip).otherwise(F.lit(localip))
+                 .alias("src_ip"),
+                F.when(incoming, r_port).otherwise(F.lit(localport))
+                 .cast("int").alias("src_port"),
+                F.when(incoming, F.lit(localip)).otherwise(r_ip)
+                 .alias("dst_ip"),
+                F.when(incoming, F.lit(localport)).otherwise(r_port)
+                 .cast("int").alias("dst_port"),
+                proto.alias("protocol")))
 
-    sip_rows = _sip_select(F.col("_pf"), F.lit(True))
     # the re-hold's second message rides the SAME order value, directly
     # after its primary row
-    sip_refrag = _sip_select(F.col("_p2"), F.col("_refrag_ok"))
-    sip_rows = sip_rows.unionByName(sip_refrag)
-
-    outs = [sip_rows]
+    slots = [_sip_struct(F.col("_pf"), F.lit(True)),
+             _sip_struct(F.col("_pm"), F.col("_refrag_ok"))]
     l = F.col("_line")
     schema_cols = ["proto_type", "payload", "correlation_id", "src_ip",
                    "src_port", "dst_ip", "dst_port", "protocol"]
@@ -1461,21 +1528,24 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
         # we trim each token, the reference keeps a leading space when the
         # separator has trailing whitespace (' | b' -> ' b') — real
         # MEDIA_END vectors use 'field |field' so the planes agree.
+        # (_q0/_q are materialized as guarded columns so the HOF tokenizer
+        # runs once per MEDIA_END row, never per slot reference.)
         toks0 = F.filter(
             F.transform(F.split(l, r"\s+\|"), lambda x: F.trim(x)),
             lambda x: F.length(x) > 1)
-        media = (base.filter(l.contains("MEDIA_END ") & ~F.col("_consumed"))
-                 .withColumn("_q0", toks0))
+        base = base.withColumn(
+            "_q0", F.when(l.contains("MEDIA_END ") & ~F.col("_consumed"),
+                          toks0))
         q0 = F.col("_q0")
         fixed = F.when(
             F.size(q0) == 25,
             F.concat(F.slice(q0, 1, 5), F.slice(q0, 7, 9),
                      F.slice(q0, 17, 9))).otherwise(q0)
-        media = media.withColumn("_q", fixed).filter(
-            (F.size(F.col("_q")) > 21)
-            & (F.get(F.col("_q"), 2) != "")
-            & (F.get(F.col("_q"), 21).isNotNull()))
+        base = base.withColumn("_q", fixed)
         q = F.col("_q")
+        media_ok = ((F.size(q) > 21)
+                    & (F.get(q, 2) != "")
+                    & (F.get(q, 21).isNotNull()))
 
         def g(i):
             return F.get(q, i)
@@ -1504,13 +1574,26 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
                 dport.try_cast("int").alias("dst_port"),
                 F.lit(17).alias("protocol"))
 
-        legs = F.array(
-            report(0, g(7), g(8), g(9), g(10), 17, 11),
-            report(1, g(9), g(10), g(7), g(8), 18, 12))
-        outs.append(media.select(F.col(order), "sid",
-                                 F.explode(legs).alias("_r"))
-                    .select(F.col(order), "sid",
-                            *[F.col(f"_r.{c}") for c in schema_cols]))
+        slots.append(F.when(media_ok,
+                            report(0, g(7), g(8), g(9), g(10), 17, 11)))
+        slots.append(F.when(media_ok,
+                            report(1, g(9), g(10), g(7), g(8), 18, 12)))
+
+    # Materialize every slot as a COLUMN before the explode: Catalyst does
+    # no common-subexpression elimination inside a Generate's generator
+    # expression, so an inline slot would re-run its payload regex chain
+    # once per field reference; as Project columns they evaluate once per
+    # row with codegen CSE.
+    slot_names = [f"_slot{i}" for i in range(len(slots))]
+    for nm, s in zip(slot_names, slots):
+        base = base.withColumn(nm, s)
+    core = (base.select(F.col(order), "sid",
+                        F.explode(F.array(*[F.col(n) for n in slot_names]))
+                        .alias("_r"))
+            .filter(F.col("_r").isNotNull())
+            .select(F.col(order), "sid",
+                    *[F.col(f"_r.{c}") for c in schema_cols]))
+    outs = [core]
 
     if logs:
         cdr_toks = F.filter(
@@ -1535,7 +1618,7 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
         others = base.filter(
             (F.col("sid") != "") & ~is_sipline & ~F.col("_consumed")
             & ~l.contains("CALL_END ") & ~l.contains("MEDIA_END "))
-        sip_cids = sip_rows.select(
+        sip_cids = core.filter(F.col("proto_type") == 1).select(
             "sid", F.col(order).alias("_o"),
             F.col("correlation_id").alias("_cid"))
         # as-of join sip_cids to each log line (latest _o < order)

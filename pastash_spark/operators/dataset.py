@@ -336,17 +336,22 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     rows_per_band = n_hashes // bands
     sig = df.select(F.col(id_col).alias("id"),
                     minhash_signature(col, k, n_hashes).alias("sig"))
+    # PERF (r06): the band structs are built as an UNROLLED literal array
+    # instead of transform(sequence(...)) — the HOF lambda (slice + inner
+    # transform + concat_ws + xxhash64) is CodegenFallback, i.e. the whole
+    # banding expression ran interpreted per row.  getItem/concat_ws/
+    # xxhash64 over the same elements produce BIT-IDENTICAL bucket values
+    # (same "s1,s2,..." string into the same hash), fully codegen'd.
+    band_structs = []
+    for b in range(bands):
+        lo = b * rows_per_band          # getItem is 0-based; slice was 1-based
+        parts = [F.col("sig").getItem(lo + i).cast("string")
+                 for i in range(rows_per_band)]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(",", *parts)).alias("bucket")))
     banded = sig.select(
-        "id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.transform(F.slice(F.col("sig"), b * rows_per_band + 1,
-                                             rows_per_band),
-                                     lambda x: x.cast("string")))).alias("bucket"))
-        )).alias("bb")) \
+        "id", F.explode(F.array(*band_structs)).alias("bb")) \
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     banded = _reuse(banded, reuse)
     if max_bucket is not None:
@@ -377,20 +382,30 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
     the same jaccard to every other doc as its surviving representative, so
     the pair set over representatives plus the exact-loser set reproduces
     the all-pairs result."""
+    # PERF (r06): the (id, text) projection feeds three dedup-side
+    # consumers (representative dedup, exact-loser anti-join, candidate
+    # fetch) — materialize it once instead of re-running the source
+    # subtree per consumer (the bench source is a 3-branch union scan; the
+    # plan repeated it 9+ times).  The final anti-join still returns the
+    # ORIGINAL df, full schema.
+    slim = _reuse(df.select(F.col(id_col), F.col(col)), reuse)
     if exact_first:
-        reps = _reuse(dedup_exact_keep(df, col=col, id_col=id_col), reuse)
-        exact_losers = (df.join(reps.select(id_col), id_col, "left_anti")
+        reps = _reuse(dedup_exact_keep(slim, col=col, id_col=id_col), reuse)
+        exact_losers = (slim.join(reps.select(id_col), id_col, "left_anti")
                         .select(id_col))
         work = reps.select(id_col, col)
     else:
         exact_losers = None
-        work = df
+        work = slim
     cand = minhash_lsh_pairs(work, id_col=id_col, col=col, k=k,
                              n_hashes=n_hashes, bands=bands,
                              max_bucket=max_bucket, stats_out=stats_out,
                              reuse=reuse)
-    cand_docs = (work.join(cand.select(F.col("id_a").alias(id_col)).union(
-        cand.select(F.col("id_b").alias(id_col))).distinct(), id_col))
+    # PERF (r06): one explode instead of union-of-two-selects — the union
+    # form re-ran the whole candidate-pair join once per side.
+    cand_docs = (work.join(
+        cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+        .distinct(), id_col))
     verified = ngram_jaccard_pairs(cand_docs, id_col=id_col, col=col, k=k,
                                    threshold=threshold)
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
@@ -435,24 +450,40 @@ def simhash60_portable(col: str = "text") -> Column:
     word-hash memo amortizes the md5 cost across repeated vocabulary."""
     import hashlib
 
-    bit_idx = np.arange(60, dtype=np.int64)
-
     @F.pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
+        # PERF (r06): one flat pass per BATCH instead of per-document
+        # numpy dispatch — all words hash into one array (md5 memoized per
+        # batch), then each bit's majority vote is a single
+        # np.add.reduceat over the document segments.  votes_j =
+        # 2*ones_j - n_words reproduces the old (2*bits-1).sum exactly,
+        # so the simhash values are bit-identical.
         cache: dict[str, int] = {}
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            ws = (t or "").split(" ")
-            hs = np.empty(len(ws), dtype=np.int64)
-            for j, w in enumerate(ws):
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        if not n:
+            return pd.Series(out)
+        word_lists = [(t or "").split(" ") for t in texts]
+        counts = np.fromiter((len(ws) for ws in word_lists),
+                             dtype=np.int64, count=n)
+        flat = np.empty(int(counts.sum()), dtype=np.int64)
+        md5 = hashlib.md5
+        i = 0
+        for ws in word_lists:
+            for w in ws:
                 h = cache.get(w)
                 if h is None:
-                    h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                    h = int(md5(w.encode()).hexdigest()[:15], 16)
                     cache[w] = h
-                hs[j] = h
-            bits = (hs[:, None] >> bit_idx) & 1
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = int(np.where(votes > 0, np.int64(1) << bit_idx, 0).sum())
+                flat[i] = h
+                i += 1
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        for j in range(60):
+            # counts >= 1 always ("".split(" ") == ['']), so reduceat
+            # segments are never empty
+            ones = np.add.reduceat((flat >> j) & 1, offsets)
+            out |= ((2 * ones - counts) > 0).astype(np.int64) << j
         return pd.Series(out)
 
     return sh(F.col(col))

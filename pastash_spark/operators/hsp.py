@@ -51,7 +51,8 @@ def scored_correlation(df: DataFrame, *,
                        vectors: Sequence[Mapping[str, Any]] = HSP_VECTORS,
                        id_col: str = "callid", order: str = "line_no",
                        threshold: int = 100, max_bucket: int = 64,
-                       out_prefix: str = "hsp_") -> DataFrame:
+                       out_prefix: str = "hsp_",
+                       reuse: bool = True) -> DataFrame:
     """qrelate-style weighted multi-key correlation
     (filter_app_hsp.js:20-30 vectors + :156 qrelate.process).
 
@@ -106,11 +107,22 @@ def scored_correlation(df: DataFrame, *,
                               F.lit(None).cast("string"))
                 .withColumn(out_prefix + "score", F.lit(0)))
 
-    h = (df.select(F.col(order).alias("_o"),
+    # PERF (r06): explode first, null-filter after — the previous
+    # F.filter(...) HOF is CodegenFallback and dragged every handle
+    # struct (rlike gates, concats) into interpreted per-row evaluation.
+    # Identical row set: null handles exploded-then-filtered == filtered
+    # before explode.  Handles are materialized as COLUMNS before the
+    # explode (no common-subexpression elimination runs inside a
+    # Generate's expression, so inline structs would re-run their
+    # value/rlike gates per reference).
+    hd = df.select(F.col(order).alias("_o"),
                    F.col(id_col).cast("string").alias("_id"),
-                   F.explode(F.filter(F.array(*handles),
-                                      lambda x: x.isNotNull()))
+                   *[hc.alias(f"_h{i}") for i, hc in enumerate(handles)])
+    h = (hd.select("_o", "_id",
+                   F.explode(F.array(
+                       *[F.col(f"_h{i}") for i in range(len(handles))]))
                    .alias("_h"))
+         .filter(F.col("_h").isNotNull())
          .select("_o", "_id", F.col("_h.hname").alias("hname"),
                  F.col("_h.hval").alias("hval"),
                  F.col("_h.hscore").alias("hscore")))
@@ -119,6 +131,12 @@ def scored_correlation(df: DataFrame, *,
     w_bucket = Window.partitionBy("hname", "hval").orderBy("_o")
     h = (h.withColumn("_rn", F.row_number().over(w_bucket))
          .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    # PERF (r06): the handle stream feeds BOTH sides of the candidate
+    # self-join; without materialization each side re-ran the explode +
+    # cap window (plan showed the whole subtree twice).  Same rationale
+    # and caveats as dataset._reuse.
+    from pastash_spark.operators.dataset import _reuse
+    h = _reuse(h, reuse)
 
     a = h.select(F.col("_o").alias("_ao"), F.col("_id").alias("_aid"),
                  "hname", "hval", F.col("hscore").alias("_as"))

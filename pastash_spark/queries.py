@@ -42,8 +42,13 @@ def _q(name: str, oracle: str | None = None):
 # (measured: pricing_summary 0.34 s → 1.14 s with a forced split).
 _SPLIT_TABLES = frozenset({"events", "documents", "embeddings"})
 
+# Deterministic split key per CPU-heavy table (unique id -> uniform hash).
+_SPLIT_KEY = {"events": "event_id", "documents": "doc_id",
+              "embeddings": "vec_id"}
 
-def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+
+def _t(spark: SparkSession, sf_dir: str, table: str,
+       key: str | None = None) -> DataFrame:
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
     # The sf* testdata tables are SINGLE-row-group parquet files, which the
@@ -68,7 +73,19 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     target = min(par, max(1, size // (256 * 1024)))
     if df.rdd.getNumPartitions() < target:
-        df = df.repartition(int(target))
+        # PERF (r06): HASH repartition on a deterministic key instead of
+        # round-robin.  Keyless repartition(n) first locally SORTS every
+        # input partition (spark.sql.execution.sortBeforeRepartition, on by
+        # default since SPARK-23207 for retry determinism) — here that was
+        # a single-task full-table sort before any work started, paid once
+        # per scan branch.  Hashing a unique id needs no sort, is
+        # deterministic under task retry by construction (guide §2.5), and
+        # spreads 1M unique ids uniformly.  Queries whose downstream
+        # window/groupBy keys the stream differently pass ``key=`` so the
+        # split shuffle doubles as the window's exchange
+        # (ClusteredDistribution is satisfied by any hash partitioning on
+        # the key — one exchange instead of two).
+        df = df.repartition(int(target), F.col(key or _SPLIT_KEY[table]))
     return df
 
 
@@ -255,7 +272,9 @@ FROM events
 """)
 def q_asof_lru(spark, sf_dir):
     from pyspark.sql import Window
-    ev = _t(spark, sf_dir, "events")
+    # split-shuffle keyed on the window key — the scan split IS the
+    # window's exchange (one shuffle total)
+    ev = _t(spark, sf_dir, "events", key="user_id")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     published = F.when(F.col("event_type") == "signup", F.col("value"))
@@ -279,7 +298,7 @@ def q_cacheloop(spark, sf_dir):
     followed by one IEEE division in both engines, so the result is
     independent of partial-aggregation order — double AVG rounded to 6 dp
     drifted at sf0.1 once the split-scan loader changed partition order."""
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", key="user_id").withColumn(
         "value_mil", F.floor(F.col("value") * 1000 + 0.5).cast("long"))
     out = C.cacheloop_aggregate(ev, extract="user_id",
                                 avg_fields=["value_mil"], collect=False)
@@ -302,7 +321,7 @@ GROUP BY user_id
 """)
 def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", key="user_id")
     # deterministic tiebreak on event_id to match the oracle exactly
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
@@ -328,7 +347,7 @@ GROUP BY user_id, grp
 """)
 def q_multiline(spark, sf_dir):
     from pyspark.sql import Window
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", key="user_id")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     start = (F.col("event_type") == "signup").cast("int")
@@ -352,7 +371,7 @@ FROM events
 """)
 def q_ffill_corr(spark, sf_dir):
     from pyspark.sql import Window
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", key="user_id").withColumn(
         "corr_src", F.when(F.col("event_type") == "signup",
                            F.concat(F.lit("corr-"), F.col("user_id").cast("string"))))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
