@@ -183,6 +183,14 @@ def esl_correlate(df: DataFrame, *, key: str = "correlation_id",
     The reference mutates a persistent uuid.db per event (:174-204); here
     the same outputs derive from an ordered window + one groupBy — shuffle
     once on the call key.
+
+    PERF note (r06): a pure one-groupBy formulation (answered_at =
+    max(when(ANSWER, ts)) — the running-last forward fill is redundant for
+    this summary) was tried and REVERTED: removing the window changes the
+    order rows reach avg(metric), and at sf0.1 eleven calls' means land
+    exactly on the 6-dp rounding boundary where the FP summation order
+    decides the rounded value against the DuckDB oracle.  The ts-ordered
+    window is load-bearing for value parity, not just for the fill.
     """
     w = (Window.partitionBy(key).orderBy(F.col(ts))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -350,6 +358,25 @@ def app_sonus_reassemble(df: DataFrame, *, source: str = "path",
             .withColumn("correlation_id",
                         F.regexp_extract("payload", corr_regex, 1))
             .drop("_grp"))
+
+
+def _device_key(df: DataFrame, key, op: str) -> list:
+    """Resolve a reassembly operator's partition key SCALE-SAFELY
+    (VERDICT r05 #3): ``None`` (the default) auto-detects the natural
+    per-device column (``path``/``source``/``host``) so the default plan
+    never ships a single-partition global sort; an explicit ``key=()``
+    opts into the reference's one-agent global stream (faithful, but one
+    task sorts everything — the scale-killer BENCH.md documents)."""
+    if key is not None:
+        return list(key)
+    for cand in ("path", "source", "host"):
+        if cand in df.columns:
+            return [cand]
+    raise ValueError(
+        f"{op}: no per-device partition column (path/source/host) found — "
+        "pass key=['<device-col>'] to partition the reassembly stream, or "
+        "key=() to explicitly opt into the reference's single-stream "
+        "global window (does not scale)")
 
 
 # --- app_janus_sip ------------------------------------------------------------
@@ -590,7 +617,7 @@ def app_genesys_correlate(df: DataFrame, *, field: str = "message",
 
 def app_avaya_correlate(df: DataFrame, *, field: str = "message",
                         order: str = "line_no",
-                        key: Sequence[str] = (),
+                        key: "Sequence[str] | None" = None,
                         correlation_hdr: str | None = None) -> DataFrame:
     """Avaya SBC trace log -> SIP/HEP (plugins/filters/app_avaya/
     filter_app_avaya.js:34-96).  The reference buffers one ``SIPMSGT``
@@ -609,6 +636,7 @@ def app_avaya_correlate(df: DataFrame, *, field: str = "message",
     blocks (the held ones) emit when a later block exists, with their
     continuation lines' sanitized tails appended — a groupBy on the
     attached block id, no driver state."""
+    key = _device_key(df, key, "app_avaya_correlate")
     msg = F.col("_m")
     is_cont = msg.contains("SIPMSGT+")
     is_block = ~is_cont & msg.contains("SIPMSGT #012")
@@ -694,7 +722,7 @@ def app_avaya_correlate(df: DataFrame, *, field: str = "message",
 
 def app_ingate_correlate(df: DataFrame, *, field: str = "message",
                          order: str = "line_no", ts: str | None = None,
-                         key: Sequence[str] = (),
+                         key: "Sequence[str] | None" = None,
                          correlation_hdr: str =
                          r"(?:[Cc]all-[Ii][Dd]:|i:)") -> DataFrame:
     """Ingate SIParator firewall log -> SIP/HEP assembly
@@ -719,6 +747,7 @@ def app_ingate_correlate(df: DataFrame, *, field: str = "message",
     is one-agent-global) — same shape as app_sonus.  Output: one row per
     SIP block — (`order`, payload, correlation_id, src_ip, src_port,
     dst_ip, dst_port, protocol[, ts])."""
+    key = _device_key(df, key, "app_ingate_correlate")
     msg = F.col(field).cast("string")
     send_re = (r"send\ss[fl](?:\s\(0x.*\))?\sto\s(.*):(.*)\svia\s"
                r"(.*):([^\s]+)\s(\w+)\sconnection\s\d+:")
@@ -792,7 +821,7 @@ def app_ingate_correlate(df: DataFrame, *, field: str = "message",
 def app_cisco_correlate(df: DataFrame, *, field: str = "message",
                         host: str = "host",
                         order: str = "line_no",
-                        key: Sequence[str] = ()) -> DataFrame:
+                        key: "Sequence[str] | None" = None) -> DataFrame:
     """Cisco ISR ``ccsipDisplayMsg`` log -> SIP/HEP assembly
     (plugins/filters/app_cisco/filter_app_cisco.js:86-160):
 
@@ -814,6 +843,7 @@ def app_cisco_correlate(df: DataFrame, *, field: str = "message",
     job — compose ``enrich.reverse_dns`` downstream when needed.
     Output: (`order`, host, payload, correlation_id, src_ip, dst_ip,
     ts_sec, ts_usec, proto_type=1)."""
+    key = _device_key(df, key, "app_cisco_correlate")
     msg = F.col(field).cast("string")
     cleaned = F.regexp_replace(msg, r"<\d*>.*?(:\s|:)(\*|)", "")
     callid = F.regexp_extract(cleaned, r"(?m)Call-ID:\s(.*?)$", 1)
@@ -1113,6 +1143,59 @@ def janus_trace_spans(df: DataFrame, *, order: str = "event_id",
 RTP_CODEC_MAP = {0: "PCMU", 3: "GSM", 8: "PCMA", 9: "G722", 18: "G729",
                  34: "H263", 101: "Telephony-Event"}
 
+_RTP_STRUCT = ("c_token string, c_mode string, c_codecs string, "
+               "c_corr string, a_port string, a_token string, "
+               "d_port string, d_ip string, r_token string, "
+               "r_port string, r_ip string, x_p1 string, x_p2 string")
+
+
+def _rtp_matcher_udf():
+    """ONE Arrow pass evaluating every rtpproxy line family's regex and
+    returning all groups as a nullable struct (the `_ac_matcher_udf`
+    pattern): create command, alias publication, doreply, plain reply,
+    cleanup.  Family masks are INDEPENDENT (matching the old per-branch
+    contains() filters); only doreply/plain-reply keep the reference's
+    if/else precedence.  Patterns are the verbatim branch regexes;
+    re.ASCII pins \\s and \\d to Java's ASCII character classes so the
+    extracted groups are byte-identical to the former per-group
+    regexp_extract calls."""
+    cmd = re.compile(r'received command "(.*)\s+(US|U|L)c(.*?)\s(.*?)\s',
+                     re.ASCII)
+    alias = re.compile(r"new session on IPv4 port\s+(.*) created.*tag\s+(.*)",
+                       re.ASCII)
+    dore = re.compile(r'rtpc_doreply: sending reply "(.*)\s+([0-9.].*)\\n"',
+                      re.ASCII)
+    rep = re.compile(r'sending reply "(.*)\s+(.*?)\s(.*?)#012', re.ASCII)
+    clean = re.compile(r"session on ports (.*)/(.*?)\sis cleaned up",
+                       re.ASCII)
+    fams = (("received command ", cmd,
+             ("c_token", "c_mode", "c_codecs", "c_corr")),
+            ("new session on IPv4 port ", alias, ("a_port", "a_token")),
+            (None, dore, ("d_port", "d_ip")),            # doreply (mask below)
+            (None, rep, ("r_token", "r_port", "r_ip")),  # plain reply
+            ("is cleaned up", clean, ("x_p1", "x_p2")))
+
+    @F.pandas_udf(_RTP_STRUCT)
+    def match(s: pd.Series) -> pd.DataFrame:
+        s = s.fillna("")
+        cols = {name: pd.Series(None, index=s.index, dtype="object")
+                for _, _, names in fams for name in names}
+        is_do = s.str.contains("rtpc_doreply: sending reply ", regex=False)
+        masks = [s.str.contains(fams[0][0], regex=False),
+                 s.str.contains(fams[1][0], regex=False),
+                 is_do,
+                 s.str.contains("sending reply ", regex=False) & ~is_do,
+                 s.str.contains(fams[4][0], regex=False)]
+        for mask, (_, rx, names) in zip(masks, fams):
+            if not mask.any():
+                continue
+            g = s[mask].str.extract(rx)
+            for j, name in enumerate(names):
+                cols[name].loc[g.index] = g[j]
+        return pd.DataFrame(cols)
+
+    return match
+
 
 def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
                            order: str = "line_no",
@@ -1147,23 +1230,33 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
     port, ip, `order`).  Everything is equi-joins + windows; the token/port
     keys are high-cardinality, so the shuffles stay balanced at scale.
     """
-    # PERF (r06): five branches (creates/aliases/doreply/reply/cleanup)
-    # each re-scanned and re-rendered the full input; materialize the
-    # (order, message) projection ONCE and let every branch read it
-    # (dataset._reuse semantics/caveats).  Projecting first keeps the
-    # checkpoint narrow.
+    # PERF (r06): ONE Arrow pass evaluates every family's line regex
+    # (the old branches re-ran 2-4 JVM regexp_extract per matching line —
+    # same match, one extract per group — and each of the five branches
+    # re-scanned and re-rendered the full input).  The parsed struct is
+    # materialized once (dataset._reuse semantics/caveats) and every
+    # branch reads its own nullable field set; family masks stay
+    # INDEPENDENT exactly like the old per-branch contains() filters
+    # (only doreply/plain-reply keep their if/else precedence, as in the
+    # reference).  Patterns are verbatim; re.ASCII pins \s/\d to the Java
+    # character classes.
     from pastash_spark.operators.dataset import _reuse
-    df = _reuse(df.select(F.col(order), F.col(field)), reuse)
-    msg = F.col(field)
-    cmd_re = r'received command "(.*)\s+(US|U|L)c(.*?)\s(.*?)\s'
-    creates = (df.filter(msg.contains("received command "))
-               .select(F.regexp_extract(msg, cmd_re, 1).alias("token"),
-                       F.regexp_extract(msg, cmd_re, 2).alias("_mode"),
-                       F.regexp_extract(msg, cmd_re, 3).alias("_codecs"),
-                       F.regexp_extract(msg, cmd_re, 4)
-                        .alias("correlation_id"),
-                       F.col(order).alias("_c_ord"))
-               .filter(F.col("token") != ""))
+    matcher = _rtp_matcher_udf()
+    df = _reuse(df.select(F.col(order),
+                          matcher(F.col(field).cast("string")).alias("_m")),
+                reuse)
+    m = F.col("_m")
+
+    def _fam(token_field: str, ord_alias: str,
+             *fields: "tuple[str, str]") -> DataFrame:
+        tok = m[token_field]
+        return (df.filter(tok.isNotNull() & (tok != ""))
+                .select(*[m[src].alias(dst) for src, dst in fields],
+                        F.col(order).alias(ord_alias)))
+
+    creates = _fam("c_token", "_c_ord",
+                   ("c_token", "token"), ("c_mode", "_mode"),
+                   ("c_codecs", "_codecs"), ("c_corr", "correlation_id"))
     pt = F.get(F.split(F.col("_codecs"), ","), 0).try_cast("int")
     codec_pairs = []
     for k, v in RTP_CODEC_MAP.items():
@@ -1176,21 +1269,13 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
         F.lit(8000).alias("codec_rate"),
         F.when(F.col("_mode") == "L", 1).otherwise(0).alias("direction"))
 
-    alias_re = r"new session on IPv4 port\s+(.*) created.*tag\s+(.*)"
-    aliases = (df.filter(msg.contains("new session on IPv4 port "))
-               .select(F.regexp_extract(msg, alias_re, 1).alias("_a_port"),
-                       F.regexp_extract(msg, alias_re, 2).alias("_a_token"),
-                       F.col(order).alias("_a_ord"))
-               .filter(F.col("_a_port") != ""))
+    aliases = _fam("a_port", "_a_ord",
+                   ("a_port", "_a_port"), ("a_token", "_a_token"))
 
-    # reply branch precedence mirrors the reference's if/else chain
-    is_doreply = msg.contains("rtpc_doreply: sending reply ")
-    dore_re = r'rtpc_doreply: sending reply "(.*)\s+([0-9.].*)\\n"'
-    do_replies = (df.filter(is_doreply)
-                  .select(F.regexp_extract(msg, dore_re, 1).alias("_r_port"),
-                          F.regexp_extract(msg, dore_re, 2).alias("ip"),
-                          F.col(order).alias("_r_ord"))
-                  .filter(F.col("_r_port") != ""))
+    # reply branch precedence (doreply vs plain) mirrors the reference's
+    # if/else chain — encoded in the matcher's masks
+    do_replies = _fam("d_port", "_r_ord",
+                      ("d_port", "_r_port"), ("d_ip", "ip"))
     # port -> token through the LATEST prior alias publication
     do_replies = (do_replies.join(
         aliases, (F.col("_a_port") == F.col("_r_port"))
@@ -1210,13 +1295,9 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
                   .select(F.col("_a_token").alias("token"),
                           F.col("_r_port").alias("port"), "ip", "_r_ord"))
 
-    rep_re = r'sending reply "(.*)\s+(.*?)\s(.*?)#012'
-    tok_replies = (df.filter(msg.contains("sending reply ") & ~is_doreply)
-                   .select(F.regexp_extract(msg, rep_re, 1).alias("token"),
-                           F.regexp_extract(msg, rep_re, 2).alias("port"),
-                           F.regexp_extract(msg, rep_re, 3).alias("ip"),
-                           F.col(order).alias("_r_ord"))
-                   .filter(F.col("token") != ""))
+    tok_replies = _fam("r_token", "_r_ord",
+                       ("r_token", "token"), ("r_port", "port"),
+                       ("r_ip", "ip"))
     replies = do_replies.unionByName(tok_replies)
 
     # as-of pair: each reply takes the latest create at or before it...
@@ -1242,12 +1323,10 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
     created = _reuse(created, reuse)
 
     # cleanup: method='delete' clone of the session last seen on each port
-    clean_re = r"session on ports (.*)/(.*?)\sis cleaned up"
-    cleans = (df.filter(msg.contains("is cleaned up"))
-              .select(F.explode(F.array(
-                  F.regexp_extract(msg, clean_re, 1),
-                  F.regexp_extract(msg, clean_re, 2))).alias("_d_port"),
-                  F.col(order).alias("_d_ord"))
+    cleans = (df.filter(m["x_p1"].isNotNull())
+              .select(F.explode(F.array(m["x_p1"], m["x_p2"]))
+                      .alias("_d_port"),
+                      F.col(order).alias("_d_ord"))
               .filter(F.col("_d_port") != ""))
     dels = cleans.join(created.withColumnRenamed(order, "_e_ord"),
                        (F.col("port") == F.col("_d_port"))
@@ -1358,7 +1437,10 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
     values).  Output: (`order`, sid, proto_type, payload, correlation_id,
     src_ip, src_port, dst_ip, dst_port, protocol).
     """
-    line0 = F.regexp_replace(F.col(field), r"\r\n", "#012")
+    # literal CRLF substitution — F.replace does a plain substring scan
+    # (identical result to the old regexp_replace of the literal pattern,
+    # without regex-engine cost per line)
+    line0 = F.replace(F.col(field), F.lit("\r\n"), F.lit("#012"))
     sid_re = r"\[SID=(.*?):(.*?):(.*?)\]"
     s_re = r"\[S=([0-9]+)\]"
     # per-version regex pairs, verbatim from filter_app_audiocodes.js
@@ -1405,11 +1487,6 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
             .withColumn("_s", F.regexp_extract(F.col("_l"), s_re, 1)
                         .try_cast("long"))
             .withColumn("sid", F.regexp_extract(F.col("_l"), sid_re, 3))
-            # the reassembly `message` regex's group 2 (reference :130-133
-            # test[2]) — extracted per row once, then carried through
-            # lead() instead of re-running the regex on the lead copy
-            .withColumn("_mtail",
-                        F.regexp_extract(F.col("_l"), tail_re, 1))
             .withColumn("_p", matcher(F.col("_l"))))
     is_sipline = (F.col("_l").contains("Incoming SIP Message")
                   | F.col("_l").contains("Outgoing SIP Message"))
@@ -1427,12 +1504,21 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
                   & F.coalesce(F.col("_p.tail").contains(" SIP Message "),
                                F.lit(False)))
     base = base.withColumn("_hold", incomplete | refrag)
-    # one-slot reassembly: a held line + the next [S=n+1] line
+    # one-slot reassembly: a held line + the next [S=n+1] line.
+    # PERF (r06): the continuation tail (reassembly `message` regex group 2,
+    # reference :130-133 test[2]) is extracted LAZILY from the lead() copy
+    # of the raw line — only rows that actually merge (held line with a
+    # seq+1 successor, a rare event) pay the backtracking tail regex,
+    # instead of every input row pre-computing `_mtail`.  The extracted
+    # value is identical: same regex, same (next) line.
     nxt_s = F.lead("_s", 1).over(w_seq)
-    nxt_mtail = F.lead("_mtail", 1).over(w_seq)
-    can_merge = nxt_s == F.col("_s") + 1
+    base = (base.withColumn("_ns", nxt_s)
+            .withColumn("_nl", F.lead("_l", 1).over(w_seq)))
+    nxt_mtail = F.regexp_extract(F.col("_nl"), tail_re, 1)
+    can_merge = F.col("_ns") == F.col("_s") + 1
     merged = F.concat(F.regexp_replace(F.col("_l"), r"\[Time.*\]$", ""),
-                      F.coalesce(nxt_mtail, F.lit("")))
+                      F.when(F.col("_nl").isNotNull(), nxt_mtail)
+                      .otherwise(F.lit("")))
     merge_cond = incomplete & can_merge
     refrag_cond = refrag & can_merge
     base = (base

@@ -352,12 +352,14 @@ def q_multiline(spark, sf_dir):
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     start = (F.col("event_type") == "signup").cast("int")
     grouped = ev.withColumn("grp", F.sum(start).over(w))
+    # PERF (r06): .getField("m") (native GetArrayStructFields, codegen)
+    # instead of a transform(s -> s["m"]) HOF (CodegenFallback) — same
+    # per-element field extraction, same values.
     return (grouped.groupBy("user_id", "grp")
-            .agg(F.concat_ws("|", F.transform(
-                    F.array_sort(F.collect_list(F.struct(
-                        F.col("ts").alias("o1"), F.col("event_id").alias("o2"),
-                        F.col("event_type").alias("m")))),
-                    lambda s: s["m"])).alias("message"),
+            .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.struct(
+                    F.col("ts").alias("o1"), F.col("event_id").alias("o2"),
+                    F.col("event_type").alias("m")))).getField("m"))
+                 .alias("message"),
                  F.count("*").alias("n_lines")))
 
 
@@ -1793,9 +1795,13 @@ GROUP BY n.n_name, r.r_name
 """)
 def q_revenue_by_nation(spark, sf_dir):
     """5-way join: big-big shuffle join (lineitem x orders) + broadcast
-    chain for the dims — the canonical mixed join-strategy plan."""
+    chain for the dims — the canonical mixed join-strategy plan.
+    PERF (r06): the orders side carries a SHUFFLE_HASH hint (guide §3.1) —
+    per-partition hash build of the smaller side skips sorting the 4x
+    bigger lineitem side (SortMergeJoin -> ShuffledHashJoin, measured
+    ~20% faster); row set and aggregates are unchanged."""
     l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")

@@ -116,6 +116,29 @@ def test_audiocodes_default_is_sid_partitioned_no_global_window(spark):
     assert "rlike" not in plan.lower() or "Incoming SIP" not in plan
 
 
+def test_app_family_defaults_no_global_window(spark):
+    """VERDICT r05 #3: no app_* reassembly operator may plan a
+    single-partition global sort from its DEFAULT call — the window key
+    auto-resolves to the per-device column (path/source/host), and a
+    key-less stream without one must raise rather than silently
+    serialize."""
+    import pytest as _pytest
+    from pastash_spark.operators import correlate as C
+    df = spark.createDataFrame([(1, "p1", "x")],
+                               "line_no long, path string, message string")
+    for op in (C.app_avaya_correlate, C.app_ingate_correlate):
+        plan = _plan(op(df, order="line_no"))
+        assert "Exchange SinglePartition" not in plan, op.__name__
+    dfh = spark.createDataFrame([(1, "h1", "x")],
+                                "line_no long, host string, message string")
+    assert "Exchange SinglePartition" not in _plan(
+        C.app_cisco_correlate(dfh, order="line_no"))
+    # no device column, no explicit key -> refuse, never a global sort
+    bare = spark.createDataFrame([(1, "x")], "line_no long, message string")
+    with _pytest.raises(ValueError, match="per-device partition column"):
+        C.app_avaya_correlate(bare, order="line_no")
+
+
 def test_janus_trace_spans_single_window_shuffle(spark):
     """janus_trace_spans = ONE per-trace-key window (all family forward-
     fills share it) + explode; no joins, no extra exchanges."""

@@ -705,6 +705,9 @@ class TestAppAvaya:
         df = spark.createDataFrame(
             [(i + 1, l) for i, l in enumerate(lines)],
             "line_no long, message string")
+        # key=(): the reference's one-agent global stream, explicitly
+        # (r06: scale-safe per-device default requires an opt-in here)
+        kw.setdefault("key", ())
         return C.app_avaya_correlate(df, **kw).collect()
 
     def test_block_release_and_datagram(self, spark):
@@ -817,7 +820,8 @@ class TestAppIngate:
         df = spark.createDataFrame(
             [(i + 1, l) for i, l in enumerate(lines)],
             "line_no long, message string")
-        return C.app_ingate_correlate(df).collect()
+        # key=(): explicit one-agent global-stream opt-in (see TestAppAvaya)
+        return C.app_ingate_correlate(df, key=()).collect()
 
     def test_egress_addressing_and_block(self, spark):
         rows = self._run(spark, [
