@@ -295,6 +295,9 @@ def app_janus_correlate(df: DataFrame, *, ts: str = "ts",
         F.col("transport_id").alias("_ip_tr"),
         F.col("ip").alias("_tip"), F.col("port").alias("_tport"))
 
+    # (r06 note: pre-joining sess2tr with tr2ip dim-to-dim — 3 stream
+    # joins instead of 4 — was A/B'd and REVERTED: serializing the dim
+    # chain costs more than the saved pass here, 4.63 vs 4.40 s min.)
     out = (live
            # type-128 session backfill through the transport pairing
            .join(tr2sess,
@@ -1344,7 +1347,8 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
 
 # --- app_audiocodes -----------------------------------------------------------
 
-_AC_STRUCT = "hit tinyint, remote string, raw_pay string, tail string"
+_AC_STRUCT = ("hit tinyint, remote string, raw_pay string, tail string, "
+              "s long, sid string")
 
 
 def _ac_matcher_udf(in_re: str, out_re: str):
@@ -1352,11 +1356,15 @@ def _ac_matcher_udf(in_re: str, out_re: str):
     regexes per line and returning every needed group at once — hit
     (0 none / 1 incoming / 2 outgoing), remote ip:port (group 2), raw
     payload (group 5) and the trailing group 6 (the reference's ``ip[6]``
-    fragment-seek input).  Replaces ~6-8 per-row JVM regex evaluations
-    (rlike + per-group regexp_extract, re-run on lag/lead copies) with a
-    single compiled-regex search per line; the patterns are plain
-    ``(.*)``-class expressions, identical under Java and Python `re`
-    semantics (both ``search``, both greedy, ``.`` excludes newline)."""
+    fragment-seek input) — plus (r06) the ``[S=n]`` sequence and
+    ``[SID=..]`` session id, which the operator previously re-extracted
+    with two more JVM regex passes over every line.  Replaces ~6-8
+    per-row JVM regex evaluations (rlike + per-group regexp_extract,
+    re-run on lag/lead copies) with a single compiled-regex search per
+    line; the patterns are plain ``(.*)``-class expressions, identical
+    under Java and Python `re` semantics (both ``search``, both greedy,
+    ``.`` excludes newline; sid falls back to "" on no match exactly
+    like regexp_extract)."""
     rin, rout = re.compile(in_re), re.compile(out_re)
 
     @F.pandas_udf(_AC_STRUCT)
@@ -1379,8 +1387,13 @@ def _ac_matcher_udf(in_re: str, out_re: str):
             remote.loc[idx] = g.loc[idx, 1]
             raw.loc[idx] = g.loc[idx, 4]
             tail.loc[idx] = g.loc[idx, 5]
+        seq = pd.array(
+            pd.to_numeric(s.str.extract(r"\[S=([0-9]+)\]", expand=False),
+                          errors="coerce"), dtype="Int64")
+        sid = s.str.extract(r"\[SID=(.*?):(.*?):(.*?)\]")[2].fillna("")
         return pd.DataFrame(
-            {"hit": hit, "remote": remote, "raw_pay": raw, "tail": tail})
+            {"hit": hit, "remote": remote, "raw_pay": raw, "tail": tail,
+             "s": seq, "sid": sid})
 
     return match
 
@@ -1441,8 +1454,6 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
     # (identical result to the old regexp_replace of the literal pattern,
     # without regex-engine cost per line)
     line0 = F.replace(F.col(field), F.lit("\r\n"), F.lit("#012"))
-    sid_re = r"\[SID=(.*?):(.*?):(.*?)\]"
-    s_re = r"\[S=([0-9]+)\]"
     # per-version regex pairs, verbatim from filter_app_audiocodes.js
     # :151-162/:222-230; any other version string falls back to the
     # 7.20A.260.012 defaults exactly like the reference's else branch.
@@ -1484,10 +1495,11 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
              else Window.partitionBy()).orderBy(F.col(order))
     tail_re = r".*\[S=[0-9]+\].*?\[SID=.*?\]\s?(.*)\[Time:.*\]"
     base = (df.select(*(key or ()), F.col(order), line0.alias("_l"))
-            .withColumn("_s", F.regexp_extract(F.col("_l"), s_re, 1)
-                        .try_cast("long"))
-            .withColumn("sid", F.regexp_extract(F.col("_l"), sid_re, 3))
-            .withColumn("_p", matcher(F.col("_l"))))
+            .withColumn("_p", matcher(F.col("_l")))
+            # seq + sid come out of the same Arrow pass (was two more
+            # JVM regex evaluations per line)
+            .withColumn("_s", F.col("_p.s"))
+            .withColumn("sid", F.col("_p.sid")))
     is_sipline = (F.col("_l").contains("Incoming SIP Message")
                   | F.col("_l").contains("Outgoing SIP Message"))
     incomplete = is_sipline & (F.col("_p.hit") == 0)
