@@ -39,6 +39,43 @@ def test_shingles_and_jaccard(docs):
     assert not any(4 in p for p in got)          # unrelated doc joins nothing
 
 
+def test_minhash_banding_matches_hof_formulation(docs, spark):
+    """r06 focused test: the unrolled literal band array must produce
+    BIT-IDENTICAL (band, bucket) values to the original
+    transform(sequence(...)) HOF formulation it replaced for codegen —
+    same slice elements, same concat string, same xxhash64."""
+    sig = docs.select(F.col("doc_id").alias("id"),
+                      D.minhash_signature("text", 3, 64).alias("sig"))
+    rows_per_band, bands = 4, 16
+    hof = sig.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1,
+                                rows_per_band),
+                        lambda x: x.cast("string")))).alias("bucket"))
+        )).alias("bb")) \
+        .select("id", "bb.band", "bb.bucket")
+    unrolled_structs = []
+    for b in range(bands):
+        lo = b * rows_per_band
+        parts = [F.col("sig").getItem(lo + i).cast("string")
+                 for i in range(rows_per_band)]
+        unrolled_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(",", *parts)).alias("bucket")))
+    unrolled = sig.select(
+        "id", F.explode(F.array(*unrolled_structs)).alias("bb")) \
+        .select("id", "bb.band", "bb.bucket")
+    a = {(r.id, r.band): r.bucket for r in hof.collect()}
+    b_ = {(r.id, r.band): r.bucket for r in unrolled.collect()}
+    assert a == b_ and len(a) == 5 * bands
+
+
 def test_minhash_lsh_finds_exact_and_near(docs):
     cand = D.minhash_lsh_pairs(docs, k=3, n_hashes=64, bands=16).collect()
     pairs = {(r.id_a, r.id_b) for r in cand}
