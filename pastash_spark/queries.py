@@ -673,13 +673,25 @@ FROM documents WHERE doc_id % 20 = 5
 
 
 def _with_dups(spark, sf_dir):
+    # PERF (r06): ONE scan + conditional 3-slot explode instead of a
+    # 3-branch union (each branch re-scanned + re-split the table; every
+    # _with_dups consumer paid 3x the source subtree).  Identical row
+    # multiset: slot 1 is every base row, slots 2/3 are the same
+    # deterministic clones the union branches produced, null slots drop.
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = (docs.filter(F.col("doc_id") % 10 == 0)
-             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    near = (docs.filter(F.col("doc_id") % 20 == 5)
-            .select((F.col("doc_id") + 200000).alias("doc_id"),
-                    F.concat(F.lit("zqx "), F.col("text")).alias("text")))
-    return docs.unionByName(exact).unionByName(near)
+    slots = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.when(F.col("doc_id") % 10 == 0,
+               F.struct((F.col("doc_id") + 100000).alias("doc_id"),
+                        F.col("text").alias("text"))),
+        F.when(F.col("doc_id") % 20 == 5,
+               F.struct((F.col("doc_id") + 200000).alias("doc_id"),
+                        F.concat(F.lit("zqx "), F.col("text"))
+                        .alias("text"))))
+    return (docs.select(F.explode(slots).alias("_r"))
+            .filter(F.col("_r").isNotNull())
+            .select(F.col("_r.doc_id").alias("doc_id"),
+                    F.col("_r.text").alias("text")))
 
 
 @_q("dedup_exact", f"""
