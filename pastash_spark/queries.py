@@ -1466,10 +1466,16 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     driver-checked."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * 0.9 + 0.01).alias("embedding"))
-    both = emb.unionByName(dup)
+    # PERF (r06): one scan + 2-slot explode instead of a 2-branch union
+    both = (emb.select(F.explode(F.array(
+        F.struct(F.col("vec_id"), F.col("embedding")),
+        F.when(F.col("vec_id") % 10 == 0, F.struct(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 0.9 + 0.01)
+            .alias("embedding"))))).alias("_r"))
+        .filter(F.col("_r").isNotNull())
+        .select(F.col("_r.vec_id").alias("vec_id"),
+                F.col("_r.embedding").alias("embedding")))
     return S.lsh_near_dup_pairs(both, threshold=0.9, n_tables=3,
                                 n_planes=8, dim=64)
 
@@ -1613,7 +1619,7 @@ def q_audiocodes_sip(spark, sf_dir):
     non-SIP chatter and must not emit), run the correlation pack, and let
     the oracle re-derive every output analytically — direction-resolved
     src/dst, #012→CRLF payload restore, Call-ID correlation."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 != 0)
+    ev = _t(spark, sf_dir, "events")
     line = F.concat(
         F.lit("[S="), F.col("event_id").cast("string"),
         F.lit("] [SID=mac:1:s"), F.col("event_id").cast("string"),
@@ -1625,9 +1631,12 @@ def q_audiocodes_sip(spark, sf_dir):
         F.lit("@x SIP/2.0#012Call-ID: cid-"),
         F.col("event_id").cast("string"),
         F.lit("#012 #012 [Time:04-05@1]"))
-    noise = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0) \
-        .select(F.col("event_id"), F.lit("plain device chatter").alias("message"))
-    src = ev.select("event_id", line.alias("message")).unionByName(noise)
+    # PERF (r06): the SIP/noise branches were complementary filters over
+    # the same scan — one conditional select replaces the union.
+    src = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 != 0, line)
+        .otherwise(F.lit("plain device chatter")).alias("message"))
     out = C.app_audiocodes_correlate(src, order="event_id",
                                      partition_by_sid=True,
                                      localip="1.1.1.1", localport=5060)
@@ -1658,13 +1667,15 @@ def q_hsp_scored_correlation(spark, sf_dir):
     adopts its first leg's callid at score 100."""
     from pastash_spark.operators import hsp as H
     ev = _t(spark, sf_dir, "events").select("event_id")
-    leg1 = ev.select((F.col("event_id") * 2).alias("ord"),
-                     F.concat(F.lit("c"), F.col("event_id").cast("string"))
-                     .alias("callid"))
-    leg2 = ev.select((F.col("event_id") * 2 + 1).alias("ord"),
-                     F.concat(F.lit("c"), F.col("event_id").cast("string"),
-                              F.lit("_b2b-1")).alias("callid"))
-    df = leg1.unionByName(leg2)
+    # PERF (r06): one scan + 2-slot explode instead of a 2-branch union
+    c1 = F.concat(F.lit("c"), F.col("event_id").cast("string"))
+    df = (ev.select(F.explode(F.array(
+        F.struct((F.col("event_id") * 2).alias("ord"), c1.alias("callid")),
+        F.struct((F.col("event_id") * 2 + 1).alias("ord"),
+                 F.concat(c1, F.lit("_b2b-1")).alias("callid"))))
+        .alias("_r"))
+        .select(F.col("_r.ord").alias("ord"),
+                F.col("_r.callid").alias("callid")))
     out = H.scored_correlation(df, order="ord")
     return out.select("ord", "callid", "hsp_correlation", "hsp_score")
 
@@ -1784,10 +1795,16 @@ def q_rtpproxy(spark, sf_dir):
                    (30000 + F.col("event_id") % 1000).cast("string"),
                    F.lit(" 10.1.0."), (F.col("event_id") % 250).cast("string"),
                    F.lit("#012"))
-    lines = (ev.select((F.col("event_id") * 2).alias("ord"),
-                       cmd.alias("message"))
-             .unionByName(ev.select((F.col("event_id") * 2 + 1).alias("ord"),
-                                    rep.alias("message"))))
+    # PERF (r06): one scan + 2-slot explode instead of a 2-branch union
+    # (each branch re-scanned + re-rendered events); identical row
+    # multiset.
+    lines = (ev.select(F.explode(F.array(
+        F.struct((F.col("event_id") * 2).alias("ord"),
+                 cmd.alias("message")),
+        F.struct((F.col("event_id") * 2 + 1).alias("ord"),
+                 rep.alias("message")))).alias("_r"))
+        .select(F.col("_r.ord").alias("ord"),
+                F.col("_r.message").alias("message")))
     out = C.app_rtpproxy_correlate(lines, order="ord")
     return out.select(((F.col("ord") - 1) / 2).cast("long").alias("event_id"),
                       "method", "token", "correlation_id", "codec_name",
