@@ -77,9 +77,12 @@ def scored_correlation(df: DataFrame, *,
     chains transitively only while the chain root stays in its LRU).
 
     Scale shape: handles explode to <= 2x#vectors rows per record; the
-    self-join key (name, value) is high-cardinality (call ids), and each
+    bucket key (name, value) is high-cardinality (call ids), and each
     handle bucket is capped at ``max_bucket`` occupants (the LRU's
-    maxSize analogue) so a degenerate hot value can never go quadratic.
+    maxSize analogue) BEFORE pairs are generated inside it, so a
+    degenerate hot value is bounded at cap^2/2 pairs instead of going
+    quadratic.  ``reuse`` is accepted for API stability but unused since
+    the r06b single-consumer rewrite (no subtree is consumed twice).
     Adds: ``{out_prefix}correlation`` (adopted id, NULL when unlinked)
     and ``{out_prefix}score``."""
     cols = set(df.columns)
@@ -131,31 +134,60 @@ def scored_correlation(df: DataFrame, *,
     w_bucket = Window.partitionBy("hname", "hval").orderBy("_o")
     h = (h.withColumn("_rn", F.row_number().over(w_bucket))
          .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-    # PERF (r06): the handle stream feeds BOTH sides of the candidate
-    # self-join; without materialization each side re-ran the explode +
-    # cap window (plan showed the whole subtree twice).  Same rationale
-    # and caveats as dataset._reuse.
-    from pastash_spark.operators.dataset import _reuse
-    h = _reuse(h, reuse)
-
-    a = h.select(F.col("_o").alias("_ao"), F.col("_id").alias("_aid"),
-                 "hname", "hval", F.col("hscore").alias("_as"))
-    b = h.select(F.col("_o").alias("_bo"), "hname", "hval",
-                 F.col("hscore").alias("_bs"))
-    pairs = (a.join(b, ["hname", "hval"])
-             .filter(F.col("_ao") < F.col("_bo"))
-             # one namespace counts once per pair, at its max score
-             .groupBy("_ao", "_bo", "_aid", "hname")
-             .agg(F.greatest(F.max("_as"), F.max("_bs")).alias("_ns"))
-             .groupBy("_ao", "_bo", "_aid")
-             .agg(F.sum("_ns").alias("_score"))
+    # PERF (r06b): candidate pairs are generated INSIDE each handle bucket
+    # instead of via a handle self-join.  The cap window above already
+    # hash-partitions the stream by (hname, hval), so the bucket
+    # collect_list groupBy reuses that exchange (zero extra shuffles) and
+    # every array is bounded by max_bucket BEFORE aggregation — the
+    # in-bucket pair explode is then <= cap^2/2 rows per bucket, the same
+    # bound the capped self-join had.  This replaces the old shape
+    # (localCheckpoint materialization + self-join with two shuffled
+    # sides + a second two-level groupBy + a best-partner sort window —
+    # ~7 exchanges) with 4 exchanges and no checkpoint; what crosses the
+    # pair exchange is one row per (pair, bucket), strictly fewer than
+    # the old join output.  Value-equivalence: for a pair sharing several
+    # buckets of one namespace, max over buckets of max(s_a, s_b) equals
+    # the old greatest(max(_as), max(_bs)) over the joined rows, and
+    # min_by(_ao) equals row_number()==1 over (partition _bo order _ao)
+    # because pair-level aggregation leaves _ao unique per _bo.
+    occ = (h.groupBy("hname", "hval")
+           .agg(F.sort_array(F.collect_list(
+               F.struct("_o", "_id", "hscore"))).alias("_occ")))
+    e1 = occ.select("hname", "_occ",
+                    F.posexplode("_occ").alias("_i", "_a"))
+    e2 = (e1.select("hname",
+                    F.col("_a._o").alias("_ao"),
+                    F.col("_a._id").alias("_aid"),
+                    F.col("_a.hscore").alias("_as"),
+                    F.explode(F.slice("_occ", F.col("_i") + 2,
+                                      F.size("_occ"))).alias("_b"))
+          # same-record duplicate handles share _o — never self-pair
+          .filter(F.col("_ao") < F.col("_b._o")))
+    bucket_pairs = e2.select(
+        "_ao", "_aid", F.col("_b._o").alias("_bo"), "hname",
+        F.greatest("_as", F.col("_b.hscore")).alias("_ns"))
+    # one namespace counts once per pair, at its max score; the namespace
+    # set is static (the vectors table), so the per-name max is a PIVOTED
+    # single aggregation instead of groupBy(.., hname) + a second groupBy.
+    names: list[str] = []
+    for v in vectors:
+        if v["key"] in cols:
+            nm = v.get("name", v["key"])
+            if nm not in names:
+                names.append(nm)
+    per_name = [F.max(F.when(F.col("hname") == nm, F.col("_ns")))
+                .alias(f"_m{i}") for i, nm in enumerate(names)]
+    score_expr = sum([F.coalesce(F.col(f"_m{i}"), F.lit(0))
+                      for i in range(len(names))], F.lit(0))
+    pairs = (bucket_pairs.groupBy("_ao", "_bo", "_aid").agg(*per_name)
+             .withColumn("_score", score_expr)
              .filter(F.col("_score") >= threshold))
-    w_best = Window.partitionBy("_bo").orderBy(F.col("_ao"))
-    best = (pairs.withColumn("_rn", F.row_number().over(w_best))
-            .filter(F.col("_rn") == 1)
+    best = (pairs.groupBy("_bo")
+            .agg(F.min_by(F.struct("_aid", "_score"), F.col("_ao"))
+                 .alias("_w"))
             .select(F.col("_bo"),
-                    F.col("_aid").alias(out_prefix + "correlation"),
-                    F.col("_score").cast("long")
+                    F.col("_w._aid").alias(out_prefix + "correlation"),
+                    F.col("_w._score").cast("long")
                     .alias(out_prefix + "score")))
     return (df.join(best, df[order] == best["_bo"], "left").drop("_bo")
             .withColumn(out_prefix + "score",
