@@ -260,62 +260,69 @@ def app_janus_correlate(df: DataFrame, *, ts: str = "ts",
     Adds/fills: session_id (type-128 backfill), opaque_id (propagated per
     session), media_ip/media_port (type 32 only).
     """
-    def latest(src: DataFrame, key: str, *vals: str) -> DataFrame:
-        # PERF (r06): latest-write-wins as max_by over the (ts, order)
-        # struct instead of a row_number sort-window — a hash aggregate
-        # with map-side partial combine (no per-key sort, ~|keys| rows
-        # cross the exchange instead of every event).  (ts, order) is the
-        # same deterministic recency key the window ordered by; struct
-        # comparison is lexicographic, so the selected row is identical.
-        recency = F.struct(F.col(ts).alias("_t"), F.col(order).alias("_o"))
-        return (src.groupBy(key)
-                .agg(F.max_by(F.struct(*[F.col(v) for v in vals]),
-                              recency).alias("_v"))
-                .select(key, *[F.col(f"_v.{v}").alias(v) for v in vals]))
-
+    # PERF (r06): latest-write-wins as max_by over the (ts, order) struct
+    # instead of a row_number sort-window — a hash aggregate with
+    # map-side partial combine (no per-key sort, ~|keys| rows cross the
+    # exchange instead of every event).  (ts, order) is the same
+    # deterministic recency key the window ordered by; struct comparison
+    # is lexicographic, so the selected row is identical.
+    # PERF (r06b): the four pairing dims collapse into TWO keyed
+    # aggregations (session-keyed and transport-keyed) with CONDITIONAL
+    # max_by per value — max_by ignores rows whose ordering expression is
+    # null, so when(type==.., recency) reproduces each original filtered
+    # dim exactly (a key with no qualifying rows yields null, which the
+    # downstream coalesces treat identically to the old left-join miss).
+    # 2 source scans + 2 exchanges instead of 4+4; the opaque and media
+    # lookups share ONE join of the merged session dim (the media values
+    # were already consumed only under when(type==32)).
     live = df.filter(F.col("type") != 64)
-    t1 = live.filter((F.col("type") == 1) & F.col("session_id").isNotNull()
-                     & F.col("transport_id").isNotNull())
-    sess2tr = latest(t1, "session_id", "transport_id").select(
-        F.col("session_id").alias("_m_sess"),
-        F.col("transport_id").alias("_mtr"))
-    tr2sess = latest(t1, "transport_id", "session_id").select(
-        F.col("transport_id").alias("_bf_tr"),
-        F.col("session_id").alias("_bf_session"))
-    sess2op = latest(
-        live.filter((F.col("type") == 2) & F.col("session_id").isNotNull()
-                    & F.col("opaque_id").isNotNull()),
-        "session_id", "opaque_id").select(
-        F.col("session_id").alias("_op_sess"),
-        F.col("opaque_id").alias("_op"))
-    tr2ip = latest(
-        live.filter((F.col("type") == 128) & F.col("transport_id").isNotNull()
-                    & F.col("ip").isNotNull()),
-        "transport_id", "ip", "port").select(
-        F.col("transport_id").alias("_ip_tr"),
-        F.col("ip").alias("_tip"), F.col("port").alias("_tport"))
+    recency = F.struct(F.col(ts).alias("_t"), F.col(order).alias("_o"))
+    typ = F.col("type")
+    t1_ok = ((typ == 1) & F.col("session_id").isNotNull()
+             & F.col("transport_id").isNotNull())
+    t2_ok = ((typ == 2) & F.col("session_id").isNotNull()
+             & F.col("opaque_id").isNotNull())
+    t128_ok = ((typ == 128) & F.col("transport_id").isNotNull()
+               & F.col("ip").isNotNull())
+    sess_dims = (live.filter(t1_ok | t2_ok)
+                 .groupBy("session_id")
+                 .agg(F.max_by(F.col("transport_id"),
+                               F.when(t1_ok, recency)).alias("_mtr"),
+                      F.max_by(F.col("opaque_id"),
+                               F.when(t2_ok, recency)).alias("_op"))
+                 .withColumnRenamed("session_id", "_sd_sess"))
+    tr_dims = (live.filter(t1_ok | t128_ok)
+               .groupBy("transport_id")
+               .agg(F.max_by(F.col("session_id"),
+                             F.when(t1_ok, recency)).alias("_bf_session"),
+                    F.max_by(F.col("ip"),
+                             F.when(t128_ok, recency)).alias("_tip"),
+                    F.max_by(F.col("port"),
+                             F.when(t128_ok, recency)).alias("_tport")))
+    tr_bf = tr_dims.select(F.col("transport_id").alias("_bf_tr"),
+                           "_bf_session")
+    tr_ip = tr_dims.select(F.col("transport_id").alias("_ip_tr"),
+                           "_tip", "_tport")
 
-    # (r06 note: pre-joining sess2tr with tr2ip dim-to-dim — 3 stream
-    # joins instead of 4 — was A/B'd and REVERTED: serializing the dim
-    # chain costs more than the saved pass here, 4.63 vs 4.40 s min.)
     out = (live
            # type-128 session backfill through the transport pairing
-           .join(tr2sess,
+           .join(tr_bf,
                  (F.col("type") == 128) &
                  (F.col("transport_id") == F.col("_bf_tr")), "left")
            .withColumn("session_id", F.coalesce("session_id", "_bf_session"))
            .drop("_bf_tr", "_bf_session")
-           # opaque propagation per (possibly backfilled) session
-           .join(sess2op,
-                 F.col("session_id") == F.col("_op_sess"), "left")
+           # opaque propagation + media transport per (possibly
+           # backfilled) session, one join: _mtr is only read under
+           # when(type==32), so attaching it to every matching session is
+           # value-identical to the old type-32-gated join
+           .join(sess_dims,
+                 F.col("session_id") == F.col("_sd_sess"), "left")
            .withColumn("opaque_id", F.coalesce("opaque_id", "_op"))
-           .drop("_op_sess", "_op")
+           .withColumn("_mtr32", F.when(F.col("type") == 32, F.col("_mtr")))
+           .drop("_sd_sess", "_op", "_mtr")
            # media enrichment: session -> transport -> ip/port
-           .join(sess2tr,
-                 (F.col("type") == 32) &
-                 (F.col("session_id") == F.col("_m_sess")), "left")
-           .join(tr2ip,
-                 F.col("_mtr") == F.col("_ip_tr"), "left")
+           .join(tr_ip,
+                 F.col("_mtr32") == F.col("_ip_tr"), "left")
            .withColumn("media_ip",
                        F.when(F.col("type") == 32,
                               F.coalesce("_tip", F.lit("0.0.0.0"))))
@@ -323,7 +330,7 @@ def app_janus_correlate(df: DataFrame, *, ts: str = "ts",
                        F.when(F.col("type") == 32,
                               F.coalesce(F.col("_tport").cast("int"),
                                          F.lit(0))))
-           .drop("_m_sess", "_mtr", "_ip_tr", "_tip", "_tport"))
+           .drop("_mtr32", "_ip_tr", "_tip", "_tport"))
     return out
 
 
@@ -978,9 +985,8 @@ def janus_trace_spans(df: DataFrame, *, order: str = "event_id",
 
     tk = F.when(t.isin(128, 256), F.concat(F.lit("em:"), F.coalesce(
         emitter, F.lit("")))).otherwise(F.col(session).cast("string"))
-    base = df.withColumn("_tk", tk)
     w = Window.partitionBy("_tk").orderBy(F.col(order))
-    ts_c = F.col(ts).cast("long")
+    ts_c = F.col("_ts")
 
     open_sess = (t == 1) & (name_ev == "created")
     close_sess = (t == 1) & (name_ev == "destroyed")
@@ -991,8 +997,64 @@ def janus_trace_spans(df: DataFrame, *, order: str = "event_id",
     open_ice = (t == 16) & (sub == 1) & (ice == "gathering")
     close_ice = (t == 16) & (sub == 1) & (ice == "ready")
 
-    def ffill(flag: Column, val: Column) -> Column:
-        return F.last(F.when(flag, val), ignorenulls=True).over(w)
+    def ffill(fam: int, val: Column) -> Column:
+        return F.last(F.when(F.col("_ofl") == fam, val),
+                      ignorenulls=True).over(w)
+
+    ice16 = (t == 16) & sub.isin(2, 3, 4, 5, 6)
+    ice16_name = (
+        F.when(sub == 2, "Local Candidate")
+        .when(sub == 3, "Remote Candidate")
+        .when(sub == 4, "Selected Candidates")
+        .when((sub == 5) & (dtls == "trying"), "DTLS trying")
+        .when((sub == 5) & (dtls == "connected"), "DTLS connected")
+        .when(sub == 6, "Connection Up"))
+    ice1_pt = (t == 16) & (sub == 1) & ice.isin("connecting", "connected",
+                                                "ready")
+    ice1_name = (F.when(ice == "connecting", "ICE connecting")
+                 .when(ice == "connected", "ICE connected")
+                 .otherwise("ICE ready"))
+
+    # PERF (r06b): NARROW the frame before the window shuffle — the raw
+    # per-type string columns (event_name/jsep_*/ice_state/dtls_state/
+    # data_event/emitter) are consumed only by per-row predicates, so they
+    # collapse into three tiny pre-shuffle columns: the open-family code
+    # `_ofl`, the close-family code `_cfl`, the point-slot selector
+    # `_pfam` (fully per-row), plus the precomputed point-span NAME
+    # (its only data-dependent strings).  Roughly halves the bytes
+    # through the exchange and the window buffer copies; every value is
+    # computed from the same expressions, one Project earlier.
+    pre = df.select(
+        tk.alias("_tk"), F.col(order),
+        F.col(ts).cast("long").alias("_ts"),
+        F.col(session).cast("string").alias("_session"),
+        (F.when(open_att, 0).when(open_sdp, 1).when(open_ice, 2)
+         .when(open_sess, 3)).alias("_ofl"),
+        (F.when(close_att, 0).when(close_sdp, 1).when(close_ice, 2)
+         .when(close_sess, 3)).alias("_cfl"),
+        (F.when(close_sess, 0)
+         .when(close_att, 1)
+         .when(close_sdp, 2)
+         .when(ice1_pt, 3)
+         .when(ice16 & ice16_name.isNotNull(), 4)
+         .when(t == 4, 5)
+         .when((t == 64) & data_ev.isin(*_JANUS_USER_EVENTS), 6)
+         .when(t == 128, 7)
+         .when((t == 256) & (sub == 1), 8)
+         .when((t == 256) & (sub == 2), 9))
+        .alias("_pfam"),
+        (F.when(close_sess, "Session destroyed")
+         .when(close_att, "Handle detached")
+         .when(close_sdp, "JSEP Event - Answer")
+         .when(ice1_pt, ice1_name)
+         .when(ice16, ice16_name)
+         .when(t == 4, F.lit("External Event"))
+         .when((t == 64) & data_ev.isin(*_JANUS_USER_EVENTS),
+               F.concat(F.lit("User "), data_ev))
+         .when(t == 128, F.lit("Transport connected"))
+         .when((t == 256) & (sub == 1), F.lit("Startup"))
+         .when((t == 256) & (sub == 2), F.lit("Shutdown")))
+        .alias("_pname"))
 
     # PERF (r06): all seven forward-fills in ONE select — chained
     # withColumn calls leave Project nodes between the Window operators,
@@ -1001,15 +1063,15 @@ def janus_trace_spans(df: DataFrame, *, order: str = "event_id",
     # iterations).  A single projection puts all last()-over-w expressions
     # into one Window operator; values are unchanged (same spec, same
     # frame, independent expressions).
-    base = base.select(
+    base = pre.select(
         "*",
-        ffill(open_sess, ts_c).alias("_sess_ts"),
-        ffill(open_att, F.col(order)).alias("_att_ord"),
-        ffill(open_att, ts_c).alias("_att_ts"),
-        ffill(open_sdp, F.col(order)).alias("_sdp_ord"),
-        ffill(open_sdp, ts_c).alias("_sdp_ts"),
-        ffill(open_ice, F.col(order)).alias("_ice_ord"),
-        ffill(open_ice, ts_c).alias("_ice_ts"))
+        ffill(3, ts_c).alias("_sess_ts"),
+        ffill(0, F.col(order)).alias("_att_ord"),
+        ffill(0, ts_c).alias("_att_ts"),
+        ffill(1, F.col(order)).alias("_sdp_ord"),
+        ffill(1, ts_c).alias("_sdp_ts"),
+        ffill(2, F.col(order)).alias("_ice_ord"),
+        ffill(2, ts_c).alias("_ice_ts"))
 
     # PERF (r06): every deterministic id is computed ONCE per row as a
     # named column (the old per-branch span structs re-derived the same
@@ -1025,45 +1087,38 @@ def janus_trace_spans(df: DataFrame, *, order: str = "event_id",
             F.md5(F.concat_ws(":", F.col("_tk"), F.lit(family),
                               ord_col.cast("string"))), 1, 16)
 
-    ice16 = (t == 16) & sub.isin(2, 3, 4, 5, 6)
-    ice16_name = (
-        F.when(sub == 2, "Local Candidate")
-        .when(sub == 3, "Remote Candidate")
-        .when(sub == 4, "Selected Candidates")
-        .when((sub == 5) & (dtls == "trying"), "DTLS trying")
-        .when((sub == 5) & (dtls == "connected"), "DTLS connected")
-        .when(sub == 6, "Connection Up"))
-    ice1_pt = (t == 16) & (sub == 1) & ice.isin("connecting", "connected",
-                                                "ready")
-
     # Family SELECTORS are materialized as int columns alongside the ids:
     # Catalyst does not run common-subexpression elimination inside a
     # Generate's generator expression, so anything referenced by several
     # struct fields must be a real column or it re-evaluates per field.
+    cfl = F.col("_cfl")
     base = base.select(
         "*",
-        F.md5(F.col("_tk")).alias("_trace"),
-        F.substring(F.md5(F.col("_tk")), 1, 16).alias("_root"),
-        child_id("att", F.col("_att_ord")).alias("_attid"),
-        child_id("sdp", F.col("_sdp_ord")).alias("_sdpid"),
-        child_id("ice", F.col("_ice_ord")).alias("_iceid"),
-        child_id("pt", F.col(order)).alias("_ptid"),
-        (F.when(close_att & F.col("_att_ord").isNotNull(), 0)
-         .when(close_sdp & F.col("_sdp_ord").isNotNull(), 1)
-         .when(close_ice & F.col("_ice_ord").isNotNull(), 2)
-         .when(close_sess & F.col("_sess_ts").isNotNull(), 3))
-        .alias("_ofam"),
-        (F.when(close_sess, 0)
-         .when(close_att, 1)
-         .when(close_sdp, 2)
-         .when(ice1_pt, 3)
-         .when(ice16 & ice16_name.isNotNull(), 4)
-         .when(t == 4, 5)
-         .when((t == 64) & data_ev.isin(*_JANUS_USER_EVENTS), 6)
-         .when(t == 128, 7)
-         .when((t == 256) & (sub == 1), 8)
-         .when((t == 256) & (sub == 2), 9))
-        .alias("_pfam"))
+        (F.when((cfl == 0) & F.col("_att_ord").isNotNull(), 0)
+         .when((cfl == 1) & F.col("_sdp_ord").isNotNull(), 1)
+         .when((cfl == 2) & F.col("_ice_ord").isNotNull(), 2)
+         .when((cfl == 3) & F.col("_sess_ts").isNotNull(), 3))
+        .alias("_ofam"))
+    # PERF (r06b): every id md5 is GUARDED by the selector that will read
+    # it — a non-emitting row (neither slot fires) pays zero hashes and an
+    # emitting row hashes only its own families (was 6 unconditional md5
+    # per row; the guarded-off ids are null exactly where the pick()
+    # selectors never dereference them, so emitted values are unchanged).
+    ofam_c, pfam_c = F.col("_ofam"), F.col("_pfam")
+    emit_any = ofam_c.isNotNull() | pfam_c.isNotNull()
+    base = base.select(
+        "*",
+        F.when(emit_any, F.md5(F.col("_tk"))).alias("_trace"),
+        F.when(emit_any,
+               F.substring(F.md5(F.col("_tk")), 1, 16)).alias("_root"),
+        F.when((ofam_c == 0) | (pfam_c == 1),
+               child_id("att", F.col("_att_ord"))).alias("_attid"),
+        F.when((ofam_c == 1) | (pfam_c == 2),
+               child_id("sdp", F.col("_sdp_ord"))).alias("_sdpid"),
+        F.when((ofam_c == 2) | (pfam_c == 3) | (pfam_c == 4),
+               child_id("ice", F.col("_ice_ord"))).alias("_iceid"),
+        F.when(pfam_c.isNotNull(),
+               child_id("pt", F.col(order))).alias("_ptid"))
 
     null_parent = F.lit(None).cast("string")
     root_id = F.col("_root")
@@ -1093,17 +1148,9 @@ def janus_trace_spans(df: DataFrame, *, order: str = "event_id",
         ts_c.cast("long").alias("end_us"),
         (ts_c - o_start).cast("long").alias("duration_us")))
 
-    ice1_name = (F.when(ice == "connecting", "ICE connecting")
-                 .when(ice == "connected", "ICE connected")
-                 .otherwise("ICE ready"))
     pfam = F.col("_pfam")
     point_emit = F.when(pfam.isNotNull(), F.struct(
-        pick(pfam, [F.lit("Session destroyed"), F.lit("Handle detached"),
-                    F.lit("JSEP Event - Answer"), ice1_name, ice16_name,
-                    F.lit("External Event"),
-                    F.concat(F.lit("User "), data_ev),
-                    F.lit("Transport connected"), F.lit("Startup"),
-                    F.lit("Shutdown")]).alias("name"),
+        F.col("_pname").alias("name"),
         pick(pfam, [F.lit("Session"), F.lit("Handle"), F.lit("JSEP"),
                     F.lit("ICE"), F.lit("ICE"), F.lit("External"),
                     F.lit("Plugin"), F.lit("Transport Originated"),
@@ -1124,7 +1171,7 @@ def janus_trace_spans(df: DataFrame, *, order: str = "event_id",
     # == a slot removed before explode (and rows where both slots are
     # null vanish either way).
     out = (base
-           .select(F.col(order), F.col(session).alias("session_id"),
+           .select(F.col(order), F.col("_session").alias("session_id"),
                    F.col("_trace").alias("trace_id"),
                    F.explode(F.array(open_emit, point_emit)).alias("_sp"))
            .filter(F.col("_sp").isNotNull())
@@ -1303,22 +1350,55 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
                        ("r_ip", "ip"))
     replies = do_replies.unionByName(tok_replies)
 
-    # as-of pair: each reply takes the latest create at or before it...
-    paired = replies.join(creates,
-                          (replies["token"] == creates["token"])
-                          & (F.col("_c_ord") < F.col("_r_ord")), "inner") \
-        .drop(creates["token"])
-    w_asof = Window.partitionBy("token", "_r_ord").orderBy(F.col("_c_ord").desc())
-    paired = (paired.withColumn("_rn", F.row_number().over(w_asof))
-              .filter(F.col("_rn") == 1).drop("_rn"))
-    # ...and each create is CONSUMED by its first reply (cache nulled)
-    w_first = Window.partitionBy("token", "_c_ord").orderBy(F.col("_r_ord"))
-    paired = (paired.withColumn("_rn", F.row_number().over(w_first))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+    # PERF (r06b): the as-of pairing is a MERGED per-token stream instead
+    # of a reply x create range join + two windows.  The old join emitted
+    # every (reply, prior create) combination per token before the as-of
+    # window cut it back — quadratic on a hot token — and needed two join
+    # exchanges; the merged stream is one hash(token) exchange, a
+    # forward-fill window (latest create at/before each reply = the old
+    # w_asof winner) and a first-reply-per-create row_number (the old
+    # w_first consume rule), which reuses the same partitioning (subset
+    # key) so no further shuffle.  A reply whose forward-fill is null has
+    # no prior create — exactly the rows the old inner join dropped.
+    ns = F.lit(None).cast("string")
+    merged_stream = (creates
+                     .select("token", F.col("_c_ord").alias("_ord"),
+                             F.lit(True).alias("_isc"), "correlation_id",
+                             "codec_name", "codec_pt", "codec_rate",
+                             "direction", ns.alias("port"), ns.alias("ip"))
+                     .unionByName(replies.select(
+                         "token", F.col("_r_ord").alias("_ord"),
+                         F.lit(False).alias("_isc"),
+                         ns.alias("correlation_id"), ns.alias("codec_name"),
+                         F.lit(None).cast("int").alias("codec_pt"),
+                         F.lit(None).cast("int").alias("codec_rate"),
+                         F.lit(None).cast("int").alias("direction"),
+                         "port", "ip")))
+    # _ord doubles as _c_ord on create rows, so the fill struct needs no
+    # extra column and keeps the order column's dtype
+    merged_stream = merged_stream.withColumn(
+        "_cr", F.when(F.col("_isc"), F.struct(
+            "correlation_id", "codec_name", "codec_pt", "codec_rate",
+            "direction", F.col("_ord").alias("_c_ord"))))
+    # "first reply after the latest create" == "reply whose immediate
+    # predecessor in the (token, order) stream is a create": any earlier
+    # reply after that create would itself sit between the create and this
+    # row.  So the consume rule is a lag() over the SAME window spec as
+    # the forward-fill — one sort, one Window pass (a predecessor that is
+    # a create also guarantees the fill is non-null).
+    w_fill = Window.partitionBy("token").orderBy("_ord")
+    paired = (merged_stream
+              .withColumn("_f", F.last("_cr", ignorenulls=True).over(w_fill))
+              .withColumn("_pc", F.lag("_isc").over(w_fill))
+              .filter(~F.col("_isc") & F.col("_pc")))
     created = paired.select(
-        F.lit("create").alias("method"), "correlation_id", "token",
-        "codec_name", "codec_pt", "codec_rate", "direction", "port", "ip",
-        F.col("_r_ord").alias(order))
+        F.lit("create").alias("method"),
+        F.col("_f.correlation_id").alias("correlation_id"), "token",
+        F.col("_f.codec_name").alias("codec_name"),
+        F.col("_f.codec_pt").alias("codec_pt"),
+        F.col("_f.codec_rate").alias("codec_rate"),
+        F.col("_f.direction").alias("direction"), "port", "ip",
+        F.col("_ord").alias(order))
     # `created` is both an output branch AND the delete branch's join
     # source — materialize once instead of running the whole as-of join
     # pipeline twice (plan showed 15 Window operators from the duplicated
@@ -1348,7 +1428,7 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
 # --- app_audiocodes -----------------------------------------------------------
 
 _AC_STRUCT = ("hit tinyint, remote string, raw_pay string, tail string, "
-              "s long, sid string")
+              "s long, sid string, q array<string>")
 
 
 def _ac_matcher_udf(in_re: str, out_re: str):
@@ -1391,11 +1471,60 @@ def _ac_matcher_udf(in_re: str, out_re: str):
             pd.to_numeric(s.str.extract(r"\[S=([0-9]+)\]", expand=False),
                           errors="coerce"), dtype="Int64")
         sid = s.str.extract(r"\[SID=(.*?):(.*?):(.*?)\]")[2].fillna("")
+        # PERF (r06b): the MEDIA_END tokenizer rides the same pass — the
+        # old JVM filter(transform(split)) HOF chain is CodegenFallback
+        # and its guarded column cost ~0.8 s/1M rows interpreted even
+        # with ZERO matching lines.  Same tokens: re.ASCII \s+\| split
+        # (= Java \s), trim = strip(' ') (= F.trim, spaces only),
+        # keep len > 1, then the 25-field drop of idx 15/5 exactly like
+        # the old slice-concat fixup.
+        # [None]*n, not scalar None — pandas coerces a scalar fill to NaN
+        # even at dtype=object, and Arrow can't serialize NaN as a null
+        # list value
+        q = pd.Series([None] * len(s), index=s.index, dtype="object")
+        med = s.str.contains("MEDIA_END ", regex=False)
+        if med.any():
+            for i in s.index[med]:
+                toks = [t for t in
+                        (t0.strip(" ") for t0 in _AC_SPLIT.split(s[i]))
+                        if len(t) > 1]
+                if len(toks) == 25:
+                    toks = toks[0:5] + toks[6:15] + toks[16:25]
+                q[i] = toks
         return pd.DataFrame(
             {"hit": hit, "remote": remote, "raw_pay": raw, "tail": tail,
-             "s": seq, "sid": sid})
+             "s": seq, "sid": sid, "q": q})
 
     return match
+
+
+_AC_SPLIT = re.compile(r"\s+\|", re.ASCII)
+
+def _ac_native_reparse(mm: Column, in_re: str, out_re: str) -> Column:
+    """Native (JVM, guarded) twin of `_ac_matcher_udf` for the re-parse of
+    reassembled lines: same branch order (Incoming contains-check first),
+    same search semantics, returns the same struct shape with s/sid null
+    (no consumer reads them on the merge path)."""
+    # (?d) = Java UNIX_LINES: `.` excludes only \n, matching Python re's
+    # dot exactly (Java's default dot also excludes \r/ /...)
+    jin, jout = "(?d)" + in_re, "(?d)" + out_re
+    is_in = mm.contains("Incoming SIP Message")
+    is_out = ~is_in & mm.contains("Outgoing SIP Message")
+    in_ok = is_in & mm.rlike(jin)
+    out_ok = is_out & mm.rlike(jout)
+
+    def grp(i: int) -> Column:
+        return (F.when(in_ok, F.regexp_extract(mm, jin, i))
+                .when(out_ok, F.regexp_extract(mm, jout, i)))
+
+    hit = (F.when(in_ok, F.lit(1)).when(out_ok, F.lit(2))
+           .otherwise(F.lit(0)).cast("tinyint"))
+    return F.struct(hit.alias("hit"), grp(2).alias("remote"),
+                    grp(5).alias("raw_pay"), grp(6).alias("tail"),
+                    F.lit(None).cast("long").alias("s"),
+                    F.lit(None).cast("string").alias("sid"),
+                    F.lit(None).cast("array<string>").alias("q"))
+
 
 def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
                              order: str = "line_no",
@@ -1539,16 +1668,42 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
             # window-expression conditions must be materialized before any
             # .filter can reference them (no window funcs in WHERE)
             .withColumn("_refrag_ok", refrag_cond)
-            # second Arrow pass ONLY over reassembled strings (null
-            # elsewhere — the matcher short-circuits on empty input).
-            # PERF (r06): merge_cond and refrag_cond are disjoint, so ONE
-            # matcher call covers both re-parse consumers (was two UDF
-            # round-trips); each consumer's guard keeps the values used
-            # identical.
-            .withColumn("_pm", matcher(
-                F.when(merge_cond | refrag_cond, merged))))
+            # PERF (r06b): the reassembled-string re-parse is NATIVE
+            # guarded regex now, not a second Arrow pass — the old matcher
+            # call round-tripped every row through Python (1M-row Arrow
+            # serialization) to parse only the rare merged lines.  The when()
+            # guards make each rlike/regexp_extract evaluate ONLY on rows
+            # where merge_cond|refrag_cond holds (codegen branches are
+            # lazy); the operator already relies on these patterns being
+            # semantically identical under Java and Python `re` (both
+            # search, both greedy, `.` excludes newline), and the `(.*)`
+            # groups always participate so regexp_extract's ""-on-miss
+            # never diverges from the UDF's null (guarded by the rlike
+            # hit test exactly like the UDF's notna() gate).  Fields
+            # s/sid are null — no _pf consumer reads them (non-merge rows
+            # take _p's real values through the otherwise branch).
+            .withColumn("_pm", _ac_native_reparse(
+                F.when(merge_cond | refrag_cond, merged), in_re, out_re)))
     base = base.withColumn(
         "_pf", F.when(merge_cond, F.col("_pm")).otherwise(F.col("_p")))
+    # PERF (r06b): NARROW the frame to scalar fields before the second
+    # window pass — carrying the whole _p/_pm/_pf structs (raw line
+    # duplicates, tails, token arrays) through the window buffer cost
+    # ~1 s/1M rows in row-copy overhead; only hit/remote/raw_pay are ever
+    # read downstream (plus q for qos, the raw/merged lines for logs).
+    narrow = [*(key or ()), F.col(order), "sid", "_s", "_hold",
+              "_refrag_ok",
+              F.col("_pf.hit").alias("_f_hit"),
+              F.col("_pf.remote").alias("_f_remote"),
+              F.col("_pf.raw_pay").alias("_f_raw"),
+              F.col("_pm.hit").alias("_m_hit"),
+              F.col("_pm.remote").alias("_m_remote"),
+              F.col("_pm.raw_pay").alias("_m_raw")]
+    if qos:
+        narrow.append(F.col("_p.q").alias("_qraw"))
+    if logs:
+        narrow.extend(["_l", "_line"])
+    base = base.select(*narrow)
     # a line consumed as a continuation must not emit again
     prev_hold = F.lag("_hold", 1).over(w_seq)
     prev_s = F.lag("_s", 1).over(w_seq)
@@ -1564,23 +1719,27 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
     # Slot values/conditions are byte-identical to the old branch
     # filters/selects; a null slot (condition false/null) is dropped after
     # the explode exactly as the old .filter dropped its row.
-    def _sip_struct(p: Column, extra_filter: Column) -> Column:
-        """proto_type=1 SIP slot from one parsed struct column — the
-        primary parse and the re-hold second message share this."""
-        hit, remote = p["hit"], p["remote"]
-        raw_pay = p["raw_pay"]
+    def _sip_struct(hit: Column, remote: Column, raw_pay: Column,
+                    extra_filter: Column) -> Column:
+        """proto_type=1 SIP slot from one parsed (hit, remote, raw_pay)
+        field trio — the primary parse and the re-hold second message
+        share this."""
         if version in ("7.40A.500", "7.20A.256.511"):
             # these versions' payload group runs to end-of-line — shed the
             # [Time:...] trailer the 7.20A.260 pattern excludes structurally
             raw_pay = F.regexp_replace(raw_pay, r"\s*\[Time:.*\]$", "")
         # postProcess (:57-60): #012 -> CRLF, trim, terminal CRLFCRLF
         # JS String.trim strips ALL whitespace incl. CRLF; Spark's trim
-        # only strips spaces, so the '#012 #012' residue needs a regex
+        # only strips spaces.  PERF (r06b): literal F.replace for the
+        # #012 substitution (plain substring scan) and btrim over the
+        # exact Java-regex-\s charset [ \t\n\x0B\f\r] — identical output
+        # to the old regexp_replace('#012') + regexp_replace(^\s+|\s+$)
+        # pair, no regex engine per row
         payload = F.concat(
-            F.regexp_replace(
-                F.regexp_replace(F.concat(raw_pay, F.lit("#012 #012")),
-                                 "#012", "\r\n"),
-                r"^\s+|\s+$", ""),
+            F.btrim(
+                F.replace(F.concat(raw_pay, F.lit("#012 #012")),
+                          F.lit("#012"), F.lit("\r\n")),
+                F.lit(" \t\n\x0b\f\r")),
             F.lit("\r\n\r\n"))
         callid = F.regexp_extract(payload,
                                   r"(?i)call-id:\s?(.*?)\s?\r\n", 1)
@@ -1612,8 +1771,10 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
 
     # the re-hold's second message rides the SAME order value, directly
     # after its primary row
-    slots = [_sip_struct(F.col("_pf"), F.lit(True)),
-             _sip_struct(F.col("_pm"), F.col("_refrag_ok"))]
+    slots = [_sip_struct(F.col("_f_hit"), F.col("_f_remote"),
+                         F.col("_f_raw"), F.lit(True)),
+             _sip_struct(F.col("_m_hit"), F.col("_m_remote"),
+                         F.col("_m_raw"), F.col("_refrag_ok"))]
     l = F.col("_line")
     schema_cols = ["proto_type", "payload", "correlation_id", "src_ip",
                    "src_port", "dst_ip", "dst_port", "protocol"]
@@ -1626,20 +1787,15 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
         # we trim each token, the reference keeps a leading space when the
         # separator has trailing whitespace (' | b' -> ' b') — real
         # MEDIA_END vectors use 'field |field' so the planes agree.
-        # (_q0/_q are materialized as guarded columns so the HOF tokenizer
-        # runs once per MEDIA_END row, never per slot reference.)
-        toks0 = F.filter(
-            F.transform(F.split(l, r"\s+\|"), lambda x: F.trim(x)),
-            lambda x: F.length(x) > 1)
+        # PERF (r06b): the tokens come pre-split from the Arrow matcher
+        # pass (`_p.q`, MEDIA_END lines only) — the old JVM
+        # filter(transform(split)) HOF chain was CodegenFallback and its
+        # guarded column cost ~0.8 s per 1M rows interpreted even with
+        # zero MEDIA_END lines.  The matcher tokenizes the RAW line;
+        # `_line` differs only for reassembled SIP fragments, which are
+        # never MEDIA_END records (doc'd divergence class as above).
         base = base.withColumn(
-            "_q0", F.when(l.contains("MEDIA_END ") & ~F.col("_consumed"),
-                          toks0))
-        q0 = F.col("_q0")
-        fixed = F.when(
-            F.size(q0) == 25,
-            F.concat(F.slice(q0, 1, 5), F.slice(q0, 7, 9),
-                     F.slice(q0, 17, 9))).otherwise(q0)
-        base = base.withColumn("_q", fixed)
+            "_q", F.when(~F.col("_consumed"), F.col("_qraw")))
         q = F.col("_q")
         media_ok = ((F.size(q) > 21)
                     & (F.get(q, 2) != "")

@@ -106,22 +106,36 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
     This is the *oracle* path — O(pairs sharing a shingle).  At 100 TB use
     minhash_lsh_pairs to cut candidates first, then verify with this on the
     candidate set only.
+
+    PERF (r06b): two exchanges, no joins, no checkpoint — the shingle
+    count per doc rides each exploded row (shingles() is already
+    per-doc-distinct and ``id_col`` identifies the row, so the old
+    .distinct() was a pure no-op exchange), pairs are generated inside
+    each shingle's posting (sorted collect + i<j explode == the old
+    a.id < b.id self-join rows), and n_a/n_b arrive as groupBy keys
+    instead of two size joins.  Same (id_a, id_b, jaccard) values.
     """
-    sh = _reuse(df.select(F.col(id_col).alias("id"),
-                          F.explode(shingles(col, k)).alias("sh"))
-                .distinct(), reuse)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (a.join(b, (F.col("a.sh") == F.col("b.sh")) &
-                     (F.col("a.id") < F.col("b.id")))
-              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    shr = (df.select(F.col(id_col).alias("id"),
+                     shingles(col, k).alias("_shs"))
+           .select("id", F.size("_shs").alias("n"),
+                   F.explode("_shs").alias("sh")))
+    posting = (shr.groupBy("sh")
+               .agg(F.sort_array(F.collect_list(F.struct("id", "n")))
+                    .alias("_ids"))
+               .filter(F.size("_ids") >= 2))
+    e1 = posting.select("_ids", F.posexplode("_ids").alias("_i", "_a"))
+    pairs = (e1.select(F.col("_a.id").alias("id_a"),
+                       F.col("_a.n").alias("n_a"),
+                       F.explode(F.slice("_ids", F.col("_i") + 2,
+                                         F.size("_ids"))).alias("_b"))
+             .filter(F.col("id_a") < F.col("_b.id")))
+    common = (pairs.groupBy("id_a", "n_a",
+                            F.col("_b.id").alias("id_b"),
+                            F.col("_b.n").alias("n_b"))
               .agg(F.count("*").alias("common")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (common.join(sa, "id_a").join(sb, "id_b")
-           .withColumn("jaccard",
-                       F.col("common") /
-                       (F.col("n_a") + F.col("n_b") - F.col("common"))))
+    out = common.withColumn(
+        "jaccard",
+        F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
     return out.filter(F.col("jaccard") >= threshold) \
         .select("id_a", "id_b", "jaccard")
 
@@ -316,9 +330,12 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                       bands: int = 16,
                       max_bucket: int | None = None,
                       stats_out: dict | None = None,
-                      reuse: bool = True) -> DataFrame:
+                      reuse: bool = True,
+                      distinct: bool = True) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-slice of the
     minhash signature -> same bucket -> pair.  rows_per_band = n_hashes/bands.
+    ``distinct=False`` skips the final pair dedup for consumers that
+    tolerate multi-band duplicates (e.g. a semi-join candidate fetch).
 
     Scale shape: explode to (band_id, band_hash) — the shuffle key is the
     band bucket, uniformly hash-distributed; within-bucket self-join only.
@@ -353,16 +370,27 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     banded = sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")) \
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    banded = _reuse(banded, reuse)
     if max_bucket is not None:
-        banded = _cap_groups(banded, ["band", "bucket"], max_bucket,
-                             "minhash_lsh_max_bucket", stats_out)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.bucket") == F.col("b.bucket")) &
-                   (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+        # the observable cap consumes `banded` twice (count + join) —
+        # materialize once for it; the uncapped path is single-consumer
+        banded = _cap_groups(_reuse(banded, reuse), ["band", "bucket"],
+                             max_bucket, "minhash_lsh_max_bucket", stats_out)
+    # PERF (r06b): pairs are generated INSIDE each bucket (groupBy +
+    # sorted collect + i<j explode) instead of a bucket self-join — one
+    # exchange and no join sorts, and the band stream is consumed once
+    # (the old shape re-shuffled a localCheckpoint for both join sides).
+    # Identical pair set: sort_array + posexplode(i<j) emits exactly the
+    # a.id < b.id pairs per bucket; worst-case work per bucket is the
+    # same m^2/2 the join had, bounded by the same max_bucket drop.
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
+               .filter(F.size("_ids") >= 2))
+    e1 = buckets.select("_ids", F.posexplode("_ids").alias("_i", "id_a"))
+    pairs = (e1.select("id_a",
+                       F.explode(F.slice("_ids", F.col("_i") + 2,
+                                         F.size("_ids"))).alias("id_b"))
+             .filter(F.col("id_a") < F.col("id_b")))
+    return pairs.distinct() if distinct else pairs
 
 
 def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
@@ -382,35 +410,46 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
     the same jaccard to every other doc as its surviving representative, so
     the pair set over representatives plus the exact-loser set reproduces
     the all-pairs result."""
-    # PERF (r06): the (id, text) projection feeds three dedup-side
-    # consumers (representative dedup, exact-loser anti-join, candidate
-    # fetch) — materialize it once instead of re-running the source
-    # subtree per consumer (the bench source is a 3-branch union scan; the
-    # plan repeated it 9+ times).  The final anti-join still returns the
-    # ORIGINAL df, full schema.
-    slim = _reuse(df.select(F.col(id_col), F.col(col)), reuse)
+    # PERF (r06/r06b): the (id, text) projection feeds the dedup-side
+    # consumers — materialize once instead of re-running the source
+    # subtree per consumer (the bench source is a union-shaped scan; the
+    # plan repeated it 9+ times).  The exact-first split rides ONE
+    # fingerprint window: rn==1 rows are the representatives and rn>1
+    # rows ARE the exact losers (identical to the old reps anti-join —
+    # every non-representative is a loser — minus the anti-join's two
+    # shuffled sides).  The final anti-join still returns the ORIGINAL
+    # df, full schema.
     if exact_first:
-        reps = _reuse(dedup_exact_keep(slim, col=col, id_col=id_col), reuse)
-        exact_losers = (slim.join(reps.select(id_col), id_col, "left_anti")
-                        .select(id_col))
-        work = reps.select(id_col, col)
+        from pyspark.sql import Window
+        w_fp = Window.partitionBy(fingerprint(col)).orderBy(F.col(id_col))
+        marked = _reuse(df.select(F.col(id_col), F.col(col))
+                        .withColumn("_rn", F.row_number().over(w_fp)),
+                        reuse)
+        exact_losers = (marked.filter(F.col("_rn") > 1).select(id_col))
+        work = marked.filter(F.col("_rn") == 1).select(id_col, col)
     else:
         exact_losers = None
-        work = slim
+        work = _reuse(df.select(F.col(id_col), F.col(col)), reuse)
+    # PERF (r06b): no pair/doc-level distincts on the internal path — the
+    # candidate fetch is a LEFT SEMI join (inherently deduping, one stage
+    # fewer than inner-join-on-distinct with the same row set), the pair
+    # distinct is skipped (semi join ignores duplicate keys), and the
+    # losers feed a left_anti join, for which duplicate right-side keys
+    # are irrelevant.  Row results are identical.
     cand = minhash_lsh_pairs(work, id_col=id_col, col=col, k=k,
                              n_hashes=n_hashes, bands=bands,
                              max_bucket=max_bucket, stats_out=stats_out,
-                             reuse=reuse)
+                             reuse=reuse, distinct=False)
     # PERF (r06): one explode instead of union-of-two-selects — the union
     # form re-ran the whole candidate-pair join once per side.
     cand_docs = (work.join(
-        cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-        .distinct(), id_col))
+        cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)),
+        id_col, "left_semi"))
     verified = ngram_jaccard_pairs(cand_docs, id_col=id_col, col=col, k=k,
                                    threshold=threshold)
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    losers = verified.select(F.col("id_b").alias(id_col))
     if exact_losers is not None:
-        losers = losers.union(exact_losers).distinct()
+        losers = losers.union(exact_losers)
     return df.join(losers, id_col, "left_anti")
 
 

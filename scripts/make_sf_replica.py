@@ -54,12 +54,16 @@ def main():
                                    pa.scalar(c * STRIDE,
                                              tb.schema.field(col).type)))
             if t == "documents" and c > 0:
+                # prefix EVERY word, not just the line: otherwise the 10
+                # copies share ~all shingles and the minhash/jaccard
+                # queries explode on cross-copy near-dup cliques that the
+                # driver's real sf1.0 (fresh text per row) does not have
                 i = tb.schema.get_field_index("text")
-                tb = tb.set_column(
-                    i, "text",
-                    pc.binary_join_element_wise(
-                        pa.scalar(f"zc{c}"), tb.column("text").combine_chunks(),
-                        " "))
+                txt = tb.column("text").combine_chunks()
+                txt = pc.replace_substring(txt, " ", f" zc{c}")
+                txt = pc.binary_join_element_wise(
+                    pa.scalar(f"zc{c}"), txt, "")
+                tb = tb.set_column(i, "text", txt)
             if t == "embeddings" and c > 0:
                 i = tb.schema.get_field_index("embedding")
                 col0 = tb.column("embedding").combine_chunks()

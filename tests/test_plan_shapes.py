@@ -111,9 +111,11 @@ def test_audiocodes_default_is_sid_partitioned_no_global_window(spark):
     df = spark.createDataFrame([(1, "x")], "line_no long, message string")
     plan = _plan(app_audiocodes_correlate(df, order="line_no"))
     assert "Exchange SinglePartition" not in plan
-    # exactly ONE ArrowEvalPython family feeds the parse (the matcher
-    # UDF batch) — the heavy regexes never run as native rlike chains
-    assert "rlike" not in plan.lower() or "Incoming SIP" not in plan
+    # exactly ONE ArrowEvalPython pass feeds the parse (the matcher UDF
+    # batch).  The reassembly re-parse runs as NATIVE regex guarded by
+    # merge_cond (r06b) — it must never come back as a second Arrow
+    # round-trip over every row.
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_app_family_defaults_no_global_window(spark):
