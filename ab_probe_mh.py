@@ -39,3 +39,19 @@ def full(spark, sf_dir):
 def probes():
     return {"src": src, "sig": sig, "reps": reps, "cand": cand,
             "full": full}
+
+
+def cand2(spark, sf_dir):
+    from pastash_spark.operators.dataset import (minhash_lsh_pairs,
+                                                 fingerprint, _reuse)
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    w_fp = Window.partitionBy(fingerprint("text")).orderBy(F.col("doc_id"))
+    marked = _reuse(docs.select("doc_id", "text")
+                    .withColumn("_rn", F.row_number().over(w_fp)), True)
+    work = marked.filter(F.col("_rn") == 1).select("doc_id", "text")
+    return minhash_lsh_pairs(work, distinct=False)
+
+
+def probes2():
+    return {"src": src, "sig": sig, "cand2": cand2, "full": full}

@@ -561,21 +561,34 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
             (F.shiftleft(chunk(i), chunk_bits) + chunk(j)).alias("val")))
     blocks = sh.select("id", "sh", F.explode(F.array(*pair_structs)).alias("c")) \
         .select("id", "sh", "c.blk", "c.val")
-    blocks = _reuse(blocks, reuse)
     if max_bucket is not None:
-        blocks = _cap_groups(blocks, ["blk", "val"], max_bucket,
-                             "simhash_max_bucket", stats_out)
-    a, b = blocks.alias("a"), blocks.alias("b")
-    pairs = (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
-                    (F.col("a.val") == F.col("b.val")) &
-                    (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
-             .distinct())
+        # the observable cap consumes `blocks` twice — materialize for it;
+        # the uncapped path below is single-consumer
+        blocks = _cap_groups(_reuse(blocks, reuse), ["blk", "val"],
+                             max_bucket, "simhash_max_bucket", stats_out)
+    # PERF (r06b): pairs generated INSIDE each block (sorted collect +
+    # i<j explode) instead of a block self-join — one exchange, no join
+    # sorts, no checkpoint; the hamming filter runs BEFORE the distinct
+    # so only qualifying pairs reach it.  Identical result: filter and
+    # distinct commute (hamming is a function of the pair), and sorted
+    # i<j == the old a.id < b.id.
+    occ = (blocks.groupBy("blk", "val")
+           .agg(F.sort_array(F.collect_list(F.struct("id", "sh")))
+                .alias("_ids"))
+           .filter(F.size("_ids") >= 2))
+    e1 = occ.select("_ids", F.posexplode("_ids").alias("_i", "_a"))
+    pairs = (e1.select(F.col("_a.id").alias("id_a"),
+                       F.col("_a.sh").alias("sh_a"),
+                       F.explode(F.slice("_ids", F.col("_i") + 2,
+                                         F.size("_ids"))).alias("_b"))
+             .filter(F.col("id_a") < F.col("_b.id"))
+             .select("id_a", F.col("_b.id").alias("id_b"),
+                     "sh_a", F.col("_b.sh").alias("sh_b")))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (pairs.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .select("id_a", "id_b", "hamming")
+            .distinct())
 
 
 # --- winnowing fingerprints ----------------------------------------------------

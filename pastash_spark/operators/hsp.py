@@ -179,7 +179,15 @@ def scored_correlation(df: DataFrame, *,
                 .alias(f"_m{i}") for i, nm in enumerate(names)]
     score_expr = sum([F.coalesce(F.col(f"_m{i}"), F.lit(0))
                       for i in range(len(names))], F.lit(0))
-    pairs = (bucket_pairs.groupBy("_ao", "_bo", "_aid").agg(*per_name)
+    # ONE exchange serves both aggregation levels: hash(_bo) satisfies the
+    # pair groupBy's ClusteredDistribution (subset of (_ao,_bo,_aid)) AND
+    # the best-partner groupBy below.  Trade-off: the pair rows cross the
+    # wire un-combined (map-side partial agg would have merged a pair's
+    # multiple bucket rows), which is a win whenever records share few
+    # buckets — the qrelate workload shape (handles are call-id-grade
+    # keys).
+    pairs = (bucket_pairs.repartition(F.col("_bo"))
+             .groupBy("_ao", "_bo", "_aid").agg(*per_name)
              .withColumn("_score", score_expr)
              .filter(F.col("_score") >= threshold))
     best = (pairs.groupBy("_bo")

@@ -65,13 +65,19 @@ def main():
                     pa.scalar(f"zc{c}"), txt, "")
                 tb = tb.set_column(i, "text", txt)
             if t == "embeddings" and c > 0:
+                # PERMUTE dims per copy: keeps norms and within-copy
+                # near-dup structure, makes cross-copy cosines ~random —
+                # a tiny nudge left copies at cosine ~0.9999 and the LSH
+                # near-dup query exploded on cross-copy cliques the
+                # driver's real data does not have
                 i = tb.schema.get_field_index("embedding")
                 col0 = tb.column("embedding").combine_chunks()
                 arr = col0.chunk(0) if isinstance(col0, pa.ChunkedArray) else col0
                 vals = arr.values.to_numpy(zero_copy_only=False).copy()
-                # nudge one rotating dim per copy so copies aren't identical
                 dim = len(vals) // len(tb)
-                vals[c % dim::dim] += 0.01 * c
+                rng = np.random.RandomState(1000 + c)
+                perm = rng.permutation(dim)
+                vals = vals.reshape(len(tb), dim)[:, perm].ravel()
                 new = pa.ListArray.from_arrays(arr.offsets, pa.array(
                     vals, type=arr.values.type))
                 tb = tb.set_column(i, "embedding", new)
