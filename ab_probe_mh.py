@@ -55,3 +55,19 @@ def cand2(spark, sf_dir):
 
 def probes2():
     return {"src": src, "sig": sig, "cand2": cand2, "full": full}
+
+
+def full_nockpt(spark, sf_dir):
+    from pastash_spark.operators import dataset as D
+    import pastash_spark.operators.dataset as dmod
+    orig = dmod._reuse
+    dmod._reuse = lambda df, enabled: df
+    try:
+        return D.dedup_minhash(_docs(spark, sf_dir), threshold=0.5) \
+            .select("doc_id")
+    finally:
+        dmod._reuse = orig
+
+
+def probes3():
+    return {"full": full, "full_nockpt": full_nockpt}

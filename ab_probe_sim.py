@@ -81,3 +81,27 @@ def mh_pairs_old(spark, sf_dir):
 
 def probes_mh():
     return {"mhp_old": mh_pairs_old, "mhp_new": mh_pairs_new}
+
+
+def emb_nobase(spark, sf_dir):
+    # drop only the base ckpt: _reuse becomes identity for the FIRST call
+    import pastash_spark.operators.dataset as dmod
+    from pastash_spark.operators import similarity as S
+    orig = dmod._reuse
+    calls = {"n": 0}
+
+    def selective(df, enabled):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return df
+        return orig(df, enabled)
+    dmod._reuse = selective
+    try:
+        return S.lsh_near_dup_pairs(_both(spark, sf_dir), threshold=0.9,
+                                    n_tables=3, n_planes=8, dim=64)
+    finally:
+        dmod._reuse = orig
+
+
+def probes_emb2():
+    return {"emb_cur": emb_new, "emb_nobase": emb_nobase}

@@ -186,24 +186,26 @@ def esl_correlate(df: DataFrame, *, key: str = "correlation_id",
 
     PERF note (r06): a pure one-groupBy formulation (answered_at =
     max(when(ANSWER, ts)) — the running-last forward fill is redundant for
-    this summary) was tried and REVERTED: removing the window changes the
+    this summary) was tried and REVERTED: removing the window changed the
     order rows reach avg(metric), and at sf0.1 eleven calls' means land
     exactly on the 6-dp rounding boundary where the FP summation order
-    decides the rounded value against the DuckDB oracle.  The ts-ordered
-    window is load-bearing for value parity, not just for the fill.
+    decides the rounded value against the DuckDB oracle.  The (key, ts)
+    ORDER is load-bearing for value parity, not just for the fill.
+    PERF (r06b): the order is now produced by an explicit hash
+    repartition + sortWithinPartitions(key, ts) — the exact exchange and
+    sort spec the window ran — WITHOUT the Window operator's running-
+    last() pass, whose outputs the summary never read (created_at is
+    min(ts); max of a running-last of when(ANSWER, ts) == max of the
+    when itself).  Rows reach every aggregate in the identical (key, ts)
+    order, which scripts/check_oracle.py re-verifies at sf0.1 (the SF
+    where the rounding ties live).
     """
-    w = (Window.partitionBy(key).orderBy(F.col(ts))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    enriched = (df
-                .withColumn("_created",
-                            F.last(F.when(F.col(event) == "CHANNEL_CREATE",
-                                          F.col(ts)), ignorenulls=True).over(w))
-                .withColumn("_answered",
-                            F.last(F.when(F.col(event) == "CHANNEL_ANSWER",
-                                          F.col(ts)), ignorenulls=True).over(w)))
-    return (enriched.groupBy(key)
+    ordered = (df.repartition(F.col(key))
+               .sortWithinPartitions(F.col(key), F.col(ts)))
+    return (ordered.groupBy(key)
             .agg(F.min(ts).alias("created_at"),
-                 F.max("_answered").alias("answered_at"),
+                 F.max(F.when(F.col(event) == "CHANNEL_ANSWER",
+                              F.col(ts))).alias("answered_at"),
                  F.max(F.when(F.col(event) == "CHANNEL_DESTROY", F.col(ts)))
                  .alias("destroyed_at"),
                  F.count("*").alias("n_events"),
@@ -1400,10 +1402,14 @@ def app_rtpproxy_correlate(df: DataFrame, *, field: str = "message",
         F.col("_f.direction").alias("direction"), "port", "ip",
         F.col("_ord").alias(order))
     # `created` is both an output branch AND the delete branch's join
-    # source — materialize once instead of running the whole as-of join
-    # pipeline twice (plan showed 15 Window operators from the duplicated
-    # subtrees; with reuse it executes once).
-    created = _reuse(created, reuse)
+    # source.  PERF (r06b): NOT checkpointed anymore — since the merged-
+    # stream rewrite both consumers share one exchange subtree that AQE's
+    # stage reuse dedups (the old as-of-join shape really did run twice:
+    # 15 Window operators from duplicated subtrees), a cleans-empty input
+    # prunes the delete branch entirely via empty-relation propagation,
+    # and each localCheckpoint cost ~0.5-1.9 s of DRIVER build time per
+    # fresh plan (toRdd planning + UDF command broadcast), which the
+    # bench's fresh-plan protocol pays every run.
 
     # cleanup: method='delete' clone of the session last seen on each port
     cleans = (df.filter(m["x_p1"].isNotNull())
@@ -1652,9 +1658,16 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
     # seq+1 successor, a rare event) pay the backtracking tail regex,
     # instead of every input row pre-computing `_mtail`.  The extracted
     # value is identical: same regex, same (next) line.
-    nxt_s = F.lead("_s", 1).over(w_seq)
-    base = (base.withColumn("_ns", nxt_s)
-            .withColumn("_nl", F.lead("_l", 1).over(w_seq)))
+    # PERF (r06b): ALL four window expressions (the reassembly leads AND
+    # the _consumed lags) ride ONE select — their inputs (_s, _l, _hold)
+    # all exist pre-window, and the intervening merge/reparse Projects had
+    # kept CollapseWindow from fusing the two same-spec Window operators.
+    base = base.select(
+        "*",
+        F.lead("_s", 1).over(w_seq).alias("_ns"),
+        F.lead("_l", 1).over(w_seq).alias("_nl"),
+        F.lag("_hold", 1).over(w_seq).alias("_ph"),
+        F.lag("_s", 1).over(w_seq).alias("_ps"))
     nxt_mtail = F.regexp_extract(F.col("_nl"), tail_re, 1)
     can_merge = F.col("_ns") == F.col("_s") + 1
     merged = F.concat(F.regexp_replace(F.col("_l"), r"\[Time.*\]$", ""),
@@ -1691,7 +1704,7 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
     # duplicates, tails, token arrays) through the window buffer cost
     # ~1 s/1M rows in row-copy overhead; only hit/remote/raw_pay are ever
     # read downstream (plus q for qos, the raw/merged lines for logs).
-    narrow = [*(key or ()), F.col(order), "sid", "_s", "_hold",
+    narrow = [*(key or ()), F.col(order), "sid", "_s", "_ph", "_ps",
               "_refrag_ok",
               F.col("_pf.hit").alias("_f_hit"),
               F.col("_pf.remote").alias("_f_remote"),
@@ -1704,12 +1717,12 @@ def app_audiocodes_correlate(df: DataFrame, *, field: str = "message",
     if logs:
         narrow.extend(["_l", "_line"])
     base = base.select(*narrow)
-    # a line consumed as a continuation must not emit again
-    prev_hold = F.lag("_hold", 1).over(w_seq)
-    prev_s = F.lag("_s", 1).over(w_seq)
+    # a line consumed as a continuation must not emit again (the lags
+    # were computed in the fused window select above)
     base = base.withColumn(
         "_consumed",
-        F.coalesce(prev_hold & (prev_s == F.col("_s") - 1), F.lit(False)))
+        F.coalesce(F.col("_ph") & (F.col("_ps") == F.col("_s") - 1),
+                   F.lit(False)))
 
     # PERF (r06): ONE pass over `base` instead of three — the primary SIP
     # emission, the re-hold second message and (qos) both MEDIA_END legs

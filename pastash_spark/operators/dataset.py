@@ -359,16 +359,22 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     # banding expression ran interpreted per row.  getItem/concat_ws/
     # xxhash64 over the same elements produce BIT-IDENTICAL bucket values
     # (same "s1,s2,..." string into the same hash), fully codegen'd.
-    band_structs = []
+    # PERF (r06b): the unrolled band array is built as ONE F.expr string —
+    # the per-band getItem/cast/struct Column chain was ~70 py4j round
+    # trips (~0.6 s of DRIVER build time per plan, timed by the bench's
+    # fresh-plan protocol).  sig[i] parses to the same GetArrayItem, SQL
+    # xxhash64 uses the same default seed as F.xxhash64 — identical
+    # expression tree, identical buckets.
+    band_exprs = []
     for b in range(bands):
-        lo = b * rows_per_band          # getItem is 0-based; slice was 1-based
-        parts = [F.col("sig").getItem(lo + i).cast("string")
-                 for i in range(rows_per_band)]
-        band_structs.append(F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.concat_ws(",", *parts)).alias("bucket")))
+        lo = b * rows_per_band          # sig[i] is 0-based; slice was 1-based
+        parts = ", ".join(f"cast(sig[{lo + i}] as string)"
+                          for i in range(rows_per_band))
+        band_exprs.append(f"struct({b} as band, "
+                          f"xxhash64(concat_ws(',', {parts})) as bucket)")
     banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb")) \
+        "id", F.explode(F.expr("array(" + ", ".join(band_exprs) + ")"))
+        .alias("bb")) \
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket is not None:
         # the observable cap consumes `banded` twice (count + join) —
@@ -419,6 +425,7 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
     # every non-representative is a loser — minus the anti-join's two
     # shuffled sides).  The final anti-join still returns the ORIGINAL
     # df, full schema.
+    final_df = df
     if exact_first:
         from pyspark.sql import Window
         w_fp = Window.partitionBy(fingerprint(col)).orderBy(F.col(id_col))
@@ -427,6 +434,11 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
                         reuse)
         exact_losers = (marked.filter(F.col("_rn") > 1).select(id_col))
         work = marked.filter(F.col("_rn") == 1).select(id_col, col)
+        if set(df.columns) == {id_col, col}:
+            # the checkpointed frame holds exactly df's rows — the final
+            # anti-join can read it instead of re-running the source
+            # subtree (one scan fewer; row multiset identical)
+            final_df = marked.select(*df.columns)
     else:
         exact_losers = None
         work = _reuse(df.select(F.col(id_col), F.col(col)), reuse)
@@ -450,7 +462,7 @@ def dedup_minhash(df: DataFrame, *, id_col: str = "doc_id", col: str = "text",
     losers = verified.select(F.col("id_b").alias(id_col))
     if exact_losers is not None:
         losers = losers.union(exact_losers)
-    return df.join(losers, id_col, "left_anti")
+    return final_df.join(losers, id_col, "left_anti")
 
 
 # --- simhash -----------------------------------------------------------------
