@@ -105,3 +105,7 @@ def emb_nobase(spark, sf_dir):
 
 def probes_emb2():
     return {"emb_cur": emb_new, "emb_nobase": emb_nobase}
+
+
+def probes_sim_only():
+    return {"sim_old": sim_old, "sim_new": sim_new}
